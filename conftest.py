@@ -1,0 +1,47 @@
+"""Root conftest: force tests onto a virtual 8-device CPU mesh.
+
+The container's ``sitecustomize`` registers the axon TPU PJRT plugin at
+interpreter startup (before pytest can touch the environment), which pins the
+JAX backend to the single tunneled TPU chip regardless of ``JAX_PLATFORMS``.
+Tests must run on an 8-device CPU mesh instead (multi-chip sharding is
+validated without hardware), so we re-exec pytest with the registration
+disabled and the CPU device-count flag set. The re-exec happens in
+``pytest_configure`` (after suspending pytest's fd capture, so the new
+process's output reaches the terminal) and before any test module imports jax.
+
+Set ``RUN_TPU_TESTS=1`` to skip the re-exec and run tests on the real chip.
+"""
+
+import os
+import sys
+
+
+def _needs_cpu_reexec() -> bool:
+    if os.environ.get("RUN_TPU_TESTS") == "1":
+        return False
+    if os.environ.get("_LLMQ_CPU_REEXEC") == "1":
+        return False
+    axon_active = bool(os.environ.get("PALLAS_AXON_POOL_IPS"))
+    not_cpu = os.environ.get("JAX_PLATFORMS") != "cpu"
+    return axon_active or not_cpu
+
+
+def pytest_configure(config):
+    if not _needs_cpu_reexec():
+        return
+    capman = config.pluginmanager.getplugin("capturemanager")
+    if capman is not None:
+        try:
+            capman.suspend_global_capture(in_=True)
+            capman.stop_global_capturing()
+        except Exception:
+            pass
+
+    env = dict(os.environ)
+    env["_LLMQ_CPU_REEXEC"] = "1"
+    env["PALLAS_AXON_POOL_IPS"] = ""  # sitecustomize skips axon registration
+    env["JAX_PLATFORMS"] = "cpu"
+    xla_flags = env.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in xla_flags:
+        env["XLA_FLAGS"] = (xla_flags + " --xla_force_host_platform_device_count=8").strip()
+    os.execve(sys.executable, [sys.executable, "-m", "pytest", *config.invocation_params.args], env)

@@ -1,0 +1,211 @@
+"""Dataset builders and collators (reference behavior: llm_quest/dataset.py).
+
+Each dataset builder returns a list (or generator) of samples; ``collate_*``
+functions turn sample lists into padded numpy batches; ``data_loader`` does
+shuffling/batching. Static-shape note: for TPU efficiency prefer
+``pad_to_multiple`` so XLA sees few distinct shapes instead of one per batch.
+"""
+
+import gzip
+import json
+
+import numpy as np
+
+PAD_TOKEN_ID = 50256  # GPT-2 "<|endoftext|>"
+NO_LOSS_ID = -100
+
+
+def gpt_windows(text, tokenizer, max_length, stride):
+    """Sliding-window next-token pairs over a tokenized corpus
+    (reference: dataset.py:13-53).
+
+    Returns (inputs, targets) int32 arrays of shape (n, max_length).
+    """
+    ids = tokenizer.encode(text)
+    inputs, targets = [], []
+    for i in range(0, len(ids) - max_length, stride):
+        inputs.append(ids[i : i + max_length])
+        targets.append(ids[i + 1 : i + max_length + 1])
+    return np.asarray(inputs, dtype=np.int32), np.asarray(targets, dtype=np.int32)
+
+
+def gpt_stream_windows(stream, tokenizer, max_length, stride, text_key="text"):
+    """Streaming variant over an iterable of {"text": ...} samples
+    (reference: dataset.py:56-95). Yields (input, target) per window."""
+    for sample in stream:
+        if text_key not in sample:
+            raise KeyError(f'Missing "{text_key}" key in sample.')
+        text = sample[text_key]
+        if not isinstance(text, str):
+            continue
+        ids = tokenizer.encode(text)
+        for i in range(0, len(ids) - max_length, stride):
+            yield (
+                np.asarray(ids[i : i + max_length], dtype=np.int32),
+                np.asarray(ids[i + 1 : i + max_length + 1], dtype=np.int32),
+            )
+
+
+def load_jsonl_gz(path, max_samples=None, text_key="text"):
+    """Gzip JSONL corpus (FineWeb sample) (reference: dataset.py:211-250)."""
+    out = []
+    with gzip.open(path, "rt", encoding="utf-8") as f:
+        for i, line in enumerate(f):
+            if max_samples is not None and i >= max_samples:
+                break
+            out.append(json.loads(line)[text_key])
+    return out
+
+
+def load_instruction_data(path):
+    """JSON or JSONL instruction data (reference: dataset.py:155-208)."""
+    with open(path, encoding="utf-8") as f:
+        first = f.read(1)
+        f.seek(0)
+        if first == "[":
+            return json.load(f)
+        return [json.loads(line) for line in f if line.strip()]
+
+
+def instruction_dataset(data, tokenizer, format_fn):
+    """Tokenized formatted instruction samples → list[list[int]]
+    (reference: dataset.py:155-208)."""
+    return [tokenizer.encode(format_fn(entry)) for entry in data]
+
+
+def collate_function(batch, custom_max_len=None, pad_token_id=PAD_TOKEN_ID):
+    """Pad-to-batch-max collator with 1-shifted targets
+    (reference: dataset.py:853-896): targets get one trailing pad token then
+    -100 no-loss ids; attention mask True on real tokens.
+
+    batch: list[list[int]] token sequences.
+    Returns dict {"input_ids", "targets", "attn_mask"} numpy arrays.
+    """
+    if custom_max_len:
+        batch = [sample[:custom_max_len] for sample in batch]
+    batch_max_len = max(len(s) for s in batch)
+
+    inputs = np.full((len(batch), batch_max_len), pad_token_id, dtype=np.int32)
+    targets = np.full((len(batch), batch_max_len), NO_LOSS_ID, dtype=np.int32)
+    mask = np.zeros((len(batch), batch_max_len), dtype=bool)
+    for i, s in enumerate(batch):
+        n = len(s)
+        inputs[i, :n] = s
+        targets[i, : n - 1] = s[1:]
+        targets[i, n - 1] = pad_token_id  # single pad target after sequence end
+        mask[i, :n] = True
+    return {"input_ids": inputs, "targets": targets, "attn_mask": mask}
+
+
+def dpo_collate(batch, pad_token_id=PAD_TOKEN_ID, allowed_max_length=None, mask_prompt_tokens=True):
+    """DPO collator (reference: dataset.py:899-978): chosen/rejected padded to
+    a common length (+1 for label shifting), loss masks False on padding and
+    (optionally) prompt tokens.
+
+    batch: list of {"prompt": ids, "chosen": ids, "rejected": ids}.
+    """
+    max_common = max(max(len(x["chosen"]), len(x["rejected"])) for x in batch) + 1
+    if allowed_max_length is not None:
+        max_common = min(max_common, allowed_max_length)
+
+    bsz = len(batch)
+    chosen = np.full((bsz, max_common), pad_token_id, dtype=np.int32)
+    rejected = np.full((bsz, max_common), pad_token_id, dtype=np.int32)
+    chosen_mask = np.ones((bsz, max_common), dtype=bool)
+    rejected_mask = np.ones((bsz, max_common), dtype=bool)
+
+    for i, item in enumerate(batch):
+        prompt_len = len(item["prompt"])
+        chos = item["chosen"][:max_common]
+        rej = item["rejected"][:max_common]
+        chosen[i, : len(chos)] = chos
+        rejected[i, : len(rej)] = rej
+        chosen_mask[i, len(chos) :] = False
+        rejected_mask[i, len(rej) :] = False
+        if mask_prompt_tokens:
+            chosen_mask[i, :prompt_len] = False
+            rejected_mask[i, :prompt_len] = False
+
+    return {
+        "chosen": chosen,
+        "rejected": rejected,
+        "chosen_mask": chosen_mask,
+        "rejected_mask": rejected_mask,
+    }
+
+
+def pref_reward_collate(batch, pad_token_id=PAD_TOKEN_ID, allowed_max_length=None):
+    """Reward-model collator (reference: dataset.py:982-1070): like dpo_collate
+    plus attention masks and the EoS token appended to each response; loss
+    masks cover response tokens (+EoS), attention masks cover real tokens."""
+    max_common = max(max(len(x["chosen"]), len(x["rejected"])) for x in batch) + 1  # +1 EoS
+    if allowed_max_length is not None:
+        max_common = min(max_common, allowed_max_length)
+
+    bsz = len(batch)
+    out = {}
+    for key in ("chosen", "rejected"):
+        toks = np.full((bsz, max_common), pad_token_id, dtype=np.int32)
+        loss_mask = np.zeros((bsz, max_common), dtype=bool)
+        attn_mask = np.zeros((bsz, max_common), dtype=bool)
+        for i, item in enumerate(batch):
+            prompt_len = len(item["prompt"])
+            seq = list(item[key])[: max_common - 1] + [pad_token_id]  # append EoS
+            n = len(seq)
+            toks[i, :n] = seq
+            attn_mask[i, :n] = True
+            loss_mask[i, min(prompt_len, n) : n] = True  # response + EoS
+        out[key] = toks
+        out[f"{key}_mask"] = loss_mask
+        out[f"{key}_attn_mask"] = attn_mask
+    return out
+
+
+def pad_to_multiple(batch_dict, multiple=128, pad_token_id=PAD_TOKEN_ID):
+    """Pad the sequence dim of a collated batch up to a multiple — keeps the
+    number of distinct XLA-compiled shapes tiny (TPU-specific addition)."""
+    s = batch_dict["input_ids"].shape[1]
+    target = ((s + multiple - 1) // multiple) * multiple
+    if target == s:
+        return batch_dict
+    pad = target - s
+    out = dict(batch_dict)
+    out["input_ids"] = np.pad(batch_dict["input_ids"], ((0, 0), (0, pad)), constant_values=pad_token_id)
+    out["targets"] = np.pad(batch_dict["targets"], ((0, 0), (0, pad)), constant_values=NO_LOSS_ID)
+    out["attn_mask"] = np.pad(batch_dict["attn_mask"], ((0, 0), (0, pad)), constant_values=False)
+    return out
+
+
+def data_loader(samples, batch_size, *, shuffle=False, drop_last=True, collate_fn=None, seed=0):
+    """Minimal batching loader (reference: dataset.py:1073-1118).
+
+    samples: list (or tuple of parallel arrays). Returns a list of batches;
+    when collate_fn is None and samples is a tuple of arrays, batches are
+    {"input_ids", "targets"} dicts.
+    """
+    if isinstance(samples, tuple):
+        n = len(samples[0])
+        idx = np.arange(n)
+        if shuffle:
+            np.random.default_rng(seed).shuffle(idx)
+        batches = []
+        end = n - (n % batch_size) if drop_last else n
+        for i in range(0, end, batch_size):
+            sel = idx[i : i + batch_size]
+            if len(sel) < batch_size and drop_last:
+                break
+            batches.append({"input_ids": samples[0][sel], "targets": samples[1][sel]})
+        return batches
+
+    idx = np.arange(len(samples))
+    if shuffle:
+        np.random.default_rng(seed).shuffle(idx)
+    batches = []
+    end = len(samples) - (len(samples) % batch_size) if drop_last else len(samples)
+    for i in range(0, end, batch_size):
+        sel = idx[i : i + batch_size]
+        if len(sel) < batch_size and drop_last:
+            break
+        chunk = [samples[j] for j in sel]
+        batches.append(collate_fn(chunk) if collate_fn else chunk)
+    return batches

@@ -1,0 +1,99 @@
+"""Core scaled-dot-product attention in XLA-friendly form.
+
+One attention core serves every architecture in the framework; variants are
+expressed through arguments instead of separate modules:
+
+- GQA: k/v may have fewer heads than q (heads are repeated logically via
+  reshape, no materialized repeat_interleave).
+- attention sinks (MiMo-V2): learnable per-head logit appended pre-softmax and
+  dropped after (reference: xiaomi/mimo_v2_flash_attention.py:69-127).
+- score softcapping (Gemma-style) via ``softcap``.
+- masks are boolean (b|1, 1, q, k), True = masked, filled with finfo.min/2
+  (reference: gpt/gpt_attention.py:196-200).
+
+Softmax runs in fp32 regardless of input dtype (standard TPU practice; the
+reference implicitly does this in fp32 models and relies on SDPA elsewhere).
+The Pallas flash-attention kernel in kernels/ is a drop-in replacement for the
+full-sequence path; this XLA version is the reference implementation and the
+decode(q_len small) path.
+"""
+
+import jax.numpy as jnp
+
+from llm_quest_tpu.ops.masks import mask_value
+
+
+def sdpa(q, k, v, *, mask=None, scale=None, sink=None, softcap=None, out_dtype=None):
+    """Scaled dot-product attention.
+
+    Args:
+        q: (b, hq, sq, d)
+        k: (b, hkv, sk, d)
+        v: (b, hkv, sk, dv)
+        mask: bool (b|1, 1|hq, sq, sk), True = masked, or None
+        scale: attention scaling; default d**-0.5
+        sink: optional (hq,) learnable per-head sink logits appended as an
+            extra key column before softmax, dropped after
+        softcap: optional score soft-capping value
+
+    Returns: (b, hq, sq, dv)
+    """
+    b, hq, sq, d = q.shape
+    hkv = k.shape[1]
+    out_dtype = out_dtype or q.dtype
+    if scale is None:
+        scale = d**-0.5
+
+    if hq != hkv:
+        group = hq // hkv
+        q_g = q.reshape(b, hkv, group, sq, d)
+        scores = jnp.einsum("bkgqd,bkld->bkgql", q_g, k, preferred_element_type=jnp.float32)
+        scores = scores.reshape(b, hq, sq, k.shape[2])
+    else:
+        scores = jnp.einsum("bhqd,bhld->bhql", q, k, preferred_element_type=jnp.float32)
+
+    scores = scores * scale
+
+    if softcap is not None:
+        scores = softcap * jnp.tanh(scores / softcap)
+
+    if mask is not None:
+        scores = jnp.where(mask, jnp.float32(mask_value(jnp.float32)), scores)
+
+    if sink is not None:
+        # append per-head sink logit column: softmax normalizes against it,
+        # then the sink's probability mass is dropped (not used for values)
+        sink_col = jnp.broadcast_to(
+            sink.astype(jnp.float32)[None, :, None, None], (b, hq, sq, 1)
+        )
+        full = jnp.concatenate([scores, sink_col], axis=-1)
+        weights = jnp.exp(full - jnp.max(full, axis=-1, keepdims=True))
+        weights = weights / jnp.sum(weights, axis=-1, keepdims=True)
+        weights = weights[..., :-1]
+    else:
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        weights = jnp.exp(scores - m)
+        weights = weights / jnp.sum(weights, axis=-1, keepdims=True)
+
+    weights = weights.astype(v.dtype)
+    if hq != hkv:
+        group = hq // hkv
+        w_g = weights.reshape(b, hkv, group, sq, k.shape[2])
+        out = jnp.einsum("bkgql,bkld->bkgqd", w_g, v, preferred_element_type=jnp.float32)
+        out = out.reshape(b, hq, sq, v.shape[-1])
+    else:
+        out = jnp.einsum("bhql,bhld->bhqd", weights, v, preferred_element_type=jnp.float32)
+
+    return out.astype(out_dtype)
+
+
+def merge_heads(x):
+    """(b, h, s, d) → (b, s, h*d)."""
+    b, h, s, d = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, s, h * d)
+
+
+def split_heads(x, num_heads):
+    """(b, s, h*d) → (b, h, s, d)."""
+    b, s, hd = x.shape
+    return x.reshape(b, s, num_heads, hd // num_heads).transpose(0, 2, 1, 3)

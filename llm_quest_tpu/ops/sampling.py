@@ -1,0 +1,82 @@
+"""Logit samplers: temperature, top-k, top-p (nucleus), min-p.
+
+Filtering semantics mirror the reference (generate.py:472-608): temp=0 →
+greedy argmax; otherwise softmax(logits/temp) is filtered, renormalized, and
+sampled. top_p and min_p are mutually exclusive; top_k composes with top_p
+(pre-filter) and with min_p (as min_tokens_to_keep).
+
+XLA redesign notes:
+- filters are threshold/sort based (no data-dependent shapes): top-k keeps
+  everything ≥ the k-th largest prob (tie behavior differs from torch's
+  scatter at measure-zero ties; parity is distribution-level).
+- top-p keeps the HF "pivot shift" behavior: the token that crosses the
+  cumulative threshold stays in the set (reference: generate.py:565-570).
+- sampling uses jax.random.categorical on log-probs (zeroed entries → -inf).
+
+All fns accept logits/probs of shape (..., vocab) so the speculative-decoding
+(b, γ, v) batch works unchanged (reference: generate.py:552-556).
+"""
+
+import jax
+import jax.numpy as jnp
+
+
+def top_k_filter(probs, k):
+    """Zero out everything below the k-th largest probability
+    (reference: generate.py:517-536)."""
+    kth = jax.lax.top_k(probs, k)[0][..., -1:]
+    return jnp.where(probs < kth, 0.0, probs)
+
+
+def top_p_filter(probs, p, top_k=None):
+    """Nucleus filtering with pivot-keep shift (reference: generate.py:539-585)."""
+    if top_k:
+        probs = top_k_filter(probs, top_k)
+
+    sort_idx = jnp.argsort(-probs, axis=-1)
+    sorted_probs = jnp.take_along_axis(probs, sort_idx, axis=-1)
+    cum = jnp.cumsum(sorted_probs, axis=-1)
+    over = cum > p
+    # shift right: the pivot token (first to cross p) is kept; slot 0 always kept
+    over = jnp.concatenate([jnp.zeros_like(over[..., :1]), over[..., :-1]], axis=-1)
+    sorted_filtered = jnp.where(over, 0.0, sorted_probs)
+
+    inv_idx = jnp.argsort(sort_idx, axis=-1)
+    return jnp.take_along_axis(sorted_filtered, inv_idx, axis=-1)
+
+
+def min_p_filter(probs, min_p, min_tokens_to_keep=1):
+    """Dynamic threshold scaled by p_max; always keeps the top
+    min_tokens_to_keep tokens (reference: generate.py:588-608)."""
+    p_max = jnp.max(probs, axis=-1, keepdims=True)
+    scaled_min_p = min_p * p_max
+    kth = jax.lax.top_k(probs, min_tokens_to_keep)[0][..., -1:]
+    remove = (probs < scaled_min_p) & (probs < kth)
+    return jnp.where(remove, 0.0, probs)
+
+
+def filter_probs(probs, *, top_k=None, top_p=None, min_p=None):
+    """Apply the configured filters to a probability tensor (..., v)."""
+    assert top_p is None or min_p is None, "Cannot use top_p and min_p together"
+    if min_p:
+        probs = min_p_filter(probs, min_p, min_tokens_to_keep=1 if top_k is None else top_k)
+    elif top_p:
+        probs = top_p_filter(probs, top_p, top_k)
+    elif top_k:
+        probs = top_k_filter(probs, top_k)
+    return probs / jnp.sum(probs, axis=-1, keepdims=True)
+
+
+def sampling(rng, logits, *, top_k=None, top_p=None, min_p=None, temp=0.0):
+    """Sample next-token ids from (..., v) logits → (...,) int32.
+
+    temp == 0.0 → greedy argmax (reference: generate.py:494-496). The
+    temperature must be a static python float (it selects the code path).
+    """
+    if temp == 0.0:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    probs = jax.nn.softmax(logits.astype(jnp.float32) / temp, axis=-1)
+    probs = filter_probs(probs, top_k=top_k, top_p=top_p, min_p=min_p)
+    # categorical over log-probs: zeroed tokens → -inf → never sampled
+    return jax.random.categorical(rng, jnp.log(probs), axis=-1).astype(jnp.int32)

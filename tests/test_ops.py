@@ -1,0 +1,211 @@
+"""Unit tests for core ops: norms, activations, RoPE, masks, sampling.
+
+Oracles are independent re-derivations (numpy/torch formulas written here),
+not imports of the reference code.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from llm_quest_tpu.ops import rope
+from llm_quest_tpu.ops.activations import gelu_erf, gelu_tanh, silu, softcap
+from llm_quest_tpu.ops.masks import causal_mask, swa_causal_mask_table
+from llm_quest_tpu.ops.norms import (
+    init_layer_norm,
+    init_rms_norm,
+    l2_norm,
+    layer_norm,
+    rms_norm,
+)
+from llm_quest_tpu.ops.sampling import min_p_filter, sampling, top_k_filter, top_p_filter
+
+
+class TestNorms:
+    def test_layer_norm_matches_std_eps_formula(self):
+        x = np.random.default_rng(0).normal(size=(2, 5, 16)).astype(np.float32)
+        params = init_layer_norm(16)
+        got = layer_norm(params, jnp.asarray(x))
+        mean = x.mean(-1, keepdims=True)
+        std = x.std(-1, keepdims=True)  # biased
+        want = (x - mean) / (std + 1e-5)
+        np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-5)
+
+    def test_rms_norm(self):
+        x = np.random.default_rng(1).normal(size=(2, 3, 8)).astype(np.float32)
+        params = init_rms_norm(8)
+        got = rms_norm(params, jnp.asarray(x), eps=1e-5)
+        want = x / np.sqrt((x**2).mean(-1, keepdims=True) + 1e-5)
+        np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-5)
+
+    def test_l2_norm_unit(self):
+        x = jnp.asarray(np.random.default_rng(2).normal(size=(4, 8)).astype(np.float32)) * 3
+        normed = l2_norm(x)
+        np.testing.assert_allclose(np.linalg.norm(np.asarray(normed), axis=-1), 1.0, atol=1e-4)
+
+
+class TestActivations:
+    def test_gelu_erf_against_scipy_formula(self):
+        from math import erf
+
+        x = np.linspace(-3, 3, 13).astype(np.float32)
+        got = np.asarray(gelu_erf(jnp.asarray(x)))
+        want = np.array([v * 0.5 * (1 + erf(v / np.sqrt(2))) for v in x], dtype=np.float32)
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+    def test_gelu_tanh_close_to_erf(self):
+        x = jnp.linspace(-3, 3, 50)
+        assert float(jnp.max(jnp.abs(gelu_erf(x) - gelu_tanh(x)))) < 0.01
+
+    def test_silu(self):
+        x = np.float32(1.5)
+        assert abs(float(silu(jnp.asarray(x))) - 1.5 / (1 + np.exp(-1.5))) < 1e-6
+
+    def test_softcap_bounds(self):
+        x = jnp.asarray([-1e4, 0.0, 1e4])
+        y = softcap(x, 30.0)
+        assert float(y[0]) == pytest.approx(-30.0, abs=1e-3)
+        assert float(y[2]) == pytest.approx(30.0, abs=1e-3)
+
+
+class TestRoPE:
+    def test_rotation_preserves_norm(self):
+        cos, sin = rope.compute_angles(10_000, 8, 16)
+        x = jnp.asarray(np.random.default_rng(0).normal(size=(1, 2, 16, 8)).astype(np.float32))
+        roped = rope.apply(x, cos, sin)
+        np.testing.assert_allclose(
+            np.linalg.norm(np.asarray(roped), axis=-1),
+            np.linalg.norm(np.asarray(x), axis=-1),
+            rtol=1e-5,
+        )
+
+    def test_position_zero_is_identity(self):
+        cos, sin = rope.compute_angles(10_000, 8, 16)
+        x = jnp.ones((1, 1, 1, 8))
+        roped = rope.apply(x, cos, sin)
+        np.testing.assert_allclose(np.asarray(roped), np.asarray(x), atol=1e-6)
+
+    def test_relative_property(self):
+        """<q_m, k_n> after RoPE depends only on m - n."""
+        head_dim, ctx = 8, 32
+        cos, sin = rope.compute_angles(10_000, head_dim, ctx)
+        rng = np.random.default_rng(3)
+        q = jnp.asarray(rng.normal(size=(1, 1, 1, head_dim)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(1, 1, 1, head_dim)).astype(np.float32))
+
+        def dot_at(m, n):
+            qm = rope.apply(q, cos, sin, position_ids=jnp.asarray([[m]]))
+            kn = rope.apply(k, cos, sin, position_ids=jnp.asarray([[n]]))
+            return float(jnp.sum(qm * kn))
+
+        assert dot_at(5, 3) == pytest.approx(dot_at(12, 10), abs=1e-4)
+        assert dot_at(5, 3) != pytest.approx(dot_at(5, 4), abs=1e-4)
+
+    def test_partial_rotation_passthrough(self):
+        cos, sin = rope.compute_angles(10_000, 8, 16, rotation_factor=0.5)
+        assert cos.shape == (16, 4)
+        x = jnp.asarray(np.random.default_rng(0).normal(size=(1, 1, 4, 8)).astype(np.float32))
+        roped = rope.apply(x, cos, sin)
+        np.testing.assert_allclose(np.asarray(roped[..., 4:]), np.asarray(x[..., 4:]))
+
+    def test_yarn_scaling_bands(self):
+        """Low-frequency thetas get divided by factor, high-frequency untouched."""
+        head_dim = 64
+        freq_cfg = {"factor": 32.0, "alpha": 1.0, "beta": 32.0, "og_ctx_len": 4096, "ctx_len": 8192}
+        base = 10_000
+        scaled = rope.wavelength_scaling(base, head_dim, freq_cfg, ntk_aware=False)
+        i = np.arange(head_dim // 2, dtype=np.float32)
+        plain = 1.0 / base ** (2 * i / head_dim)
+        ratio = freq_cfg["og_ctx_len"] / (2 * np.pi / plain)
+        high = ratio > freq_cfg["beta"]
+        low = ratio < freq_cfg["alpha"]
+        np.testing.assert_allclose(scaled[high], plain[high], rtol=1e-6)
+        np.testing.assert_allclose(scaled[low], plain[low] / freq_cfg["factor"], rtol=1e-6)
+
+    def test_mrope_text_only_equals_rope(self):
+        """T=H=W position ids through MRoPE == standard RoPE with those ids
+        (reference behavior: rope.py:309-311)."""
+        head_dim, ctx, s, b = 12, 10, 4, 2
+        mrope_section = [2, 2, 2]
+        cos, sin = rope.compute_angles(10_000, head_dim, ctx)
+        rng = np.random.default_rng(5)
+        x = jnp.asarray(rng.normal(size=(b, 2, s, head_dim)).astype(np.float32))
+        pos = jnp.asarray(rng.integers(0, ctx, size=(b, s)))
+        pos3 = jnp.stack([pos, pos, pos])
+        got = rope.apply_mrope(x, cos, sin, pos3, mrope_section)
+        want = rope.apply(x, cos, sin, position_ids=pos)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+    def test_vision_rope_2d_shapes_and_axes(self):
+        cos, sin = rope.compute_angles_2d(10_000, 8, 2, 3)
+        assert cos.shape == (6, 8)
+        # patches in the same row share y-angles (first half of half_dim)
+        np.testing.assert_allclose(np.asarray(cos[0, :2]), np.asarray(cos[1, :2]))
+        # patches in the same column share x-angles
+        np.testing.assert_allclose(np.asarray(cos[0, 2:4]), np.asarray(cos[3, 2:4]))
+
+
+class TestMasks:
+    def test_causal_no_cache(self):
+        m = causal_mask(4)
+        want = np.triu(np.ones((4, 4), dtype=bool), k=1)[None, None]
+        np.testing.assert_array_equal(np.asarray(m), want)
+
+    def test_causal_with_cache_offset(self):
+        # 1 query at absolute position 3, cache of 8 slots
+        m = causal_mask(1, 8, q_start=3)
+        want = np.array([[[[False, False, False, False, True, True, True, True]]]])
+        np.testing.assert_array_equal(np.asarray(m), want)
+
+    def test_swa_table_matches_iota_builder(self):
+        table = np.asarray(swa_causal_mask_table(8, 3))
+        live = np.asarray(causal_mask(8, 8, window_size=3))[0, 0]
+        np.testing.assert_array_equal(live, table)
+
+    def test_padding_combination(self):
+        attn = jnp.asarray([[True, True, False]])
+        m = causal_mask(3, attn_mask=attn)
+        assert bool(m[0, 0, 2, 2])  # padded key masked even on diagonal
+
+
+class TestSampling:
+    def test_greedy(self):
+        logits = jnp.asarray([[0.1, 2.0, -1.0], [3.0, 0.0, 0.5]])
+        ids = sampling(None, logits, temp=0.0)
+        np.testing.assert_array_equal(np.asarray(ids), [1, 0])
+
+    def test_top_k_keeps_k(self):
+        probs = jnp.asarray([[0.4, 0.3, 0.2, 0.1]])
+        out = np.asarray(top_k_filter(probs, 2))
+        assert (out > 0).sum() == 2
+        np.testing.assert_allclose(out[0, :2], [0.4, 0.3])
+
+    def test_top_p_pivot_shift(self):
+        # cum: .4, .7, .9, 1.0 with p=.6 → keep .4 and the pivot .3
+        probs = jnp.asarray([[0.4, 0.3, 0.2, 0.1]])
+        out = np.asarray(top_p_filter(probs, 0.6))
+        np.testing.assert_allclose(out[0], [0.4, 0.3, 0.0, 0.0])
+
+    def test_min_p(self):
+        probs = jnp.asarray([[0.5, 0.3, 0.15, 0.05]])
+        out = np.asarray(min_p_filter(probs, 0.5))  # threshold 0.25
+        np.testing.assert_allclose(out[0], [0.5, 0.3, 0.0, 0.0])
+
+    def test_min_p_min_tokens_to_keep(self):
+        probs = jnp.asarray([[0.9, 0.06, 0.04]])
+        out = np.asarray(min_p_filter(probs, 0.5, min_tokens_to_keep=2))
+        assert (out > 0).sum() == 2
+
+    def test_stochastic_sampling_distribution(self):
+        rng = jax.random.PRNGKey(0)
+        logits = jnp.log(jnp.asarray([[0.7, 0.2, 0.1]]))
+        keys = jax.random.split(rng, 512)
+        draws = jax.vmap(lambda k: sampling(k, logits, temp=1.0))(keys)
+        freq0 = float(jnp.mean((draws == 0).astype(jnp.float32)))
+        assert 0.6 < freq0 < 0.8
+
+    def test_top_p_and_top_k_compose(self):
+        probs = jnp.asarray([[0.4, 0.3, 0.2, 0.1]])
+        out = np.asarray(top_p_filter(probs, 0.99, top_k=2))
+        assert (out > 0).sum() == 2

@@ -1,0 +1,102 @@
+"""Training engine tests: LR schedule parity, loss plumbing, and a tiny
+overfitting run (loss must drop)."""
+
+import numpy as np
+import pytest
+
+from llm_quest_tpu.data.datasets import collate_function, data_loader, gpt_windows
+from llm_quest_tpu.models import gpt2
+from llm_quest_tpu.training import engine
+
+
+class _CharTok:
+    def encode(self, text):
+        return [ord(c) % 60 for c in text]
+
+
+CFG = {
+    "vocab_size": 64,
+    "context_length": 16,
+    "emb_dim": 32,
+    "n_heads": 4,
+    "n_layers": 2,
+    "drop_rate": 0.0,
+    "qkv_bias": False,
+}
+
+
+class TestLRSchedule:
+    def test_warmup_then_cosine(self):
+        sched = engine.make_lr_schedule(
+            total_steps=100, init_lr=1e-5, peak_lr=1e-3, warmup_steps=10, min_lr=1e-4, decay="cosine"
+        )
+        assert float(sched(0)) == pytest.approx(1e-5)
+        # linear warmup: step 5 halfway-ish
+        assert float(sched(5)) == pytest.approx(1e-5 + (1e-3 - 1e-5) / 10 * 5)
+        assert float(sched(10)) == pytest.approx(1e-3, rel=1e-6)  # peak at warmup end
+        assert float(sched(100)) == pytest.approx(1e-4, rel=1e-5)  # min at the end
+
+    def test_validation_errors(self):
+        with pytest.raises(ValueError):
+            engine.make_lr_schedule(10, 1e-3, 1e-4, warmup_steps=5)  # init >= peak
+        with pytest.raises(ValueError):
+            engine.make_lr_schedule(10, 1e-5, 1e-4, min_lr=1e-3, decay="cosine")  # min >= peak
+        with pytest.raises(ValueError):
+            engine.make_lr_schedule(10, 1e-5, 1e-4, decay="cosine")  # decay without min_lr
+        with pytest.raises(ValueError):
+            engine.make_lr_schedule(10, 1e-5, 1e-4, min_lr=1e-5)  # min_lr without decay
+
+    def test_no_warmup_constant(self):
+        sched = engine.make_lr_schedule(100, 1e-5, 1e-3, warmup_steps=0)
+        assert float(sched(0)) == pytest.approx(1e-3)
+        assert float(sched(50)) == pytest.approx(1e-3)
+
+
+class TestTrainingLoop:
+    def test_tiny_overfit(self):
+        """Loss on a repetitive corpus must fall substantially."""
+        import jax
+
+        text = "abcdefgh " * 80
+        inputs, targets = gpt_windows(text, _CharTok(), max_length=16, stride=8)
+        loader = data_loader((inputs, targets), batch_size=8, shuffle=True)
+        params = gpt2.init(jax.random.PRNGKey(0), CFG)
+
+        logs = []
+        params, train_losses, val_losses = engine.training_eval_loop(
+            gpt2,
+            CFG,
+            params,
+            loader,
+            loader,
+            num_epoch=8,
+            peak_lr=3e-3,
+            warmup_steps=0,
+            eval_freq=1000,
+            eval_iter=2,
+            log=logs.append,
+        )
+        eval_step = engine.make_eval_step(gpt2, CFG)
+        final = engine.calc_loss_loader(loader, eval_step, params, num_batches=3)
+        assert final < 1.0, f"did not overfit: final loss {final}"
+
+    def test_collate_function_shapes(self):
+        batch = [[1, 2, 3, 4], [5, 6]]
+        out = collate_function(batch, pad_token_id=0)
+        np.testing.assert_array_equal(out["input_ids"], [[1, 2, 3, 4], [5, 6, 0, 0]])
+        np.testing.assert_array_equal(out["targets"], [[2, 3, 4, 0], [6, 0, -100, -100]])
+        np.testing.assert_array_equal(out["attn_mask"], [[1, 1, 1, 1], [1, 1, 0, 0]])
+
+    def test_grad_accumulation_runs(self):
+        import jax
+
+        text = "abcdefgh " * 40
+        inputs, targets = gpt_windows(text, _CharTok(), max_length=16, stride=8)
+        loader = data_loader((inputs, targets), batch_size=4)
+        params = gpt2.init(jax.random.PRNGKey(0), CFG)
+        params, tr, va = engine.training_eval_loop(
+            gpt2, CFG, params, loader, loader,
+            num_epoch=1, peak_lr=1e-3, accumulation_steps=2,
+            eval_freq=1000, eval_iter=1, log=lambda m: None,
+        )
+        assert np.isfinite(tr[0])
