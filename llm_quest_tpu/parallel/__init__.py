@@ -1,0 +1,34 @@
+"""Parallelism: device meshes, sharding rules, distributed train steps.
+
+Net-new design territory for the TPU build — the reference is explicitly
+single-device (reference: qwen3_moe.py:6-7 "no distributed training here").
+Design follows the scaling-book recipe: pick a Mesh, annotate parameter /
+activation shardings with NamedSharding, and let XLA insert the ICI
+collectives (psum for DP grads, all-gather/reduce-scatter for TP).
+
+Axes:
+  "data"  — batch sharding (DP); gradients all-reduce over this axis.
+  "model" — tensor parallelism (TP); attention heads / FFN hidden / vocab
+            shard over this axis.
+"""
+
+from llm_quest_tpu.parallel.mesh import create_mesh, local_mesh_shape
+from llm_quest_tpu.parallel.sharding import (
+    batch_sharding,
+    make_sharded_train_step,
+    replicated,
+    shard_params,
+    sharding_rules_gpt2,
+    sharding_rules_llama,
+)
+
+__all__ = [
+    "create_mesh",
+    "local_mesh_shape",
+    "shard_params",
+    "batch_sharding",
+    "replicated",
+    "sharding_rules_gpt2",
+    "sharding_rules_llama",
+    "make_sharded_train_step",
+]

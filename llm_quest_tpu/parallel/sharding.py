@@ -1,0 +1,136 @@
+"""Parameter/activation sharding: path-pattern rules → NamedSharding.
+
+The rule engine walks the params pytree, renders each leaf's path as a
+"/"-joined string (list indices become their number), and applies the first
+matching regex rule's PartitionSpec. Anything unmatched is replicated — the
+safe default for norms, biases and small tables.
+
+TP layout (Megatron-style, collectives ride ICI):
+  - QKV / FFN-in (gate/up/fc) weights (in, out): shard OUT dim → column
+    parallel, activations become head-sharded with no collective.
+  - out_proj / FFN-down (down/proj) weights (in, out): shard IN dim → row
+    parallel; XLA inserts the psum when the residual add needs replication.
+  - embedding (vocab, emb) and LM head (emb, vocab): shard the vocab dim.
+
+DP: batch axis of every input array is sharded over "data"; optimizer states
+inherit parameter shardings through jit's sharding propagation.
+"""
+
+import re
+
+import jax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+
+def _path_str(path):
+    parts = []
+    for p in path:
+        if hasattr(p, "key"):
+            parts.append(str(p.key))
+        elif hasattr(p, "idx"):
+            parts.append(str(p.idx))
+        else:
+            parts.append(str(p))
+    return "/".join(parts)
+
+
+# Rules are (regex, PartitionSpec); first match wins; None → replicated.
+
+# GPT-2 / ViT param tree: blocks/i/att/{wq,wk,wv,out_proj}, blocks/i/ffn/{fc,proj}
+sharding_rules_gpt2 = [
+    (r".*/(wq|wk|wv)/w$", P(None, "model")),
+    (r".*/out_proj/w$", P("model", None)),
+    (r".*/ffn/fc/w$", P(None, "model")),
+    (r".*/ffn/proj/w$", P("model", None)),
+    (r".*tok_emb/w$", P("model", None)),
+    (r".*pos_emb/w$", P(None, None)),
+    (r".*/out/w$", P(None, "model")),
+]
+
+# Llama/Gemma/Qwen family: att/{wq,wk,wv,out_proj}, ffn/{gate,up,down}
+sharding_rules_llama = [
+    (r".*/(wq|wk|wv)/w$", P(None, "model")),
+    (r".*/out_proj/w$", P("model", None)),
+    (r".*/ffn/(gate|up)/w$", P(None, "model")),
+    (r".*/ffn/down/w$", P("model", None)),
+    # MoE experts: stacked (n_experts, in, out) — shard the expert dim (EP)
+    (r".*/experts/(gate|up|down)/w$", P("model", None, None)),
+    (r".*emb/w$", P("model", None)),
+    (r".*/out/w$", P(None, "model")),
+]
+
+
+def _spec_for(path, rules):
+    s = _path_str(path)
+    for pat, spec in rules:
+        if re.match(pat, s):
+            return spec
+    return P()
+
+
+def param_specs(params, rules):
+    """PartitionSpec pytree matching params, from path-pattern rules."""
+    return jax.tree_util.tree_map_with_path(lambda path, _: _spec_for(path, rules), params)
+
+
+def shard_params(params, mesh, rules):
+    """Place a params pytree onto the mesh per the rules."""
+    specs = param_specs(params, rules)
+    return jax.tree_util.tree_map(
+        lambda x, spec: jax.device_put(x, NamedSharding(mesh, spec)), params, specs
+    )
+
+
+def replicated(mesh):
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh, ndim=2):
+    """Shard the leading (batch) dim over "data", replicate the rest."""
+    return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
+
+
+def shard_batch(batch, mesh):
+    """Place a dict batch with leading batch dims onto the data axis."""
+    return {k: jax.device_put(v, batch_sharding(mesh, v.ndim)) for k, v in batch.items()}
+
+
+def make_sharded_train_step(model, cfg, optimizer, mesh, rules, *, loss_fn=None):
+    """Jitted DP+TP train step with explicit parameter shardings.
+
+    Parameters and optimizer state live sharded on the mesh; the batch arrives
+    data-sharded; XLA inserts the grad all-reduce over "data" and the TP
+    collectives over "model". Returns (train_step, shard_fn) where shard_fn
+    places (params, opt_state) on the mesh.
+    """
+    from llm_quest_tpu.training.engine import global_loss
+
+    if loss_fn is None:
+
+        def loss_fn(params, batch):
+            logits, _, aux = model.apply(params, cfg, batch["input_ids"], attn_mask=batch.get("attn_mask"))
+            return global_loss(logits, batch["targets"], aux)
+
+    specs = None
+
+    def shard_fn(params, opt_state):
+        nonlocal specs
+        specs = param_specs(params, rules)
+        params = shard_params(params, mesh, rules)
+        # optimizer state mirrors param shardings where shapes match; scalars replicated
+        def place(x):
+            return jax.device_put(x, replicated(mesh))
+
+        opt_state = jax.tree_util.tree_map(place, opt_state)
+        return params, opt_state
+
+    @jax.jit
+    def train_step(params, opt_state, batch):
+        import optax
+
+        loss, grads = jax.value_and_grad(loss_fn)(params, batch)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return train_step, shard_fn
