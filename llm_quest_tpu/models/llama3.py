@@ -1,0 +1,130 @@
+"""Llama-3.2 in functional JAX form.
+
+Behavioral parity with the reference (gpt_to_llama3/llama_model.py:17-73,
+llama_attention.py:14-110, llama_transformer_block.py:15-154):
+
+- GQA with RoPE applied to q/k before the (logical) KV-head repeat
+- RMSNorm (eps outside the sqrt, fp32 island, partial cast)
+- SwiGLU FFN, no biases except out_proj
+- weight tying: out head reuses the token-embedding table
+- optional YaRN/NTK-by-parts rope scaling via cfg["rope_freq"]
+
+TPU redesign: no materialized repeat_interleave (GQA grouping happens inside
+sdpa's einsum reshape); masks are fused iota comparisons; KV cache is the
+static-shape pytree from inference/cache.py.
+"""
+
+import jax
+import jax.numpy as jnp
+
+from llm_quest_tpu.config import model_dtype
+from llm_quest_tpu.inference import cache as kvc
+from llm_quest_tpu.ops import rope
+from llm_quest_tpu.ops.attention import merge_heads, sdpa, split_heads
+from llm_quest_tpu.ops.linear import embedding, init_embedding, init_linear, linear
+from llm_quest_tpu.ops.masks import causal_mask
+from llm_quest_tpu.ops.mlp import init_swiglu, swiglu
+from llm_quest_tpu.ops.norms import init_rms_norm, rms_norm
+
+
+def head_dim(cfg):
+    return cfg.get("head_dim", cfg["emb_dim"] // cfg["n_heads"])
+
+
+def init_attention(key, cfg, dtype):
+    d = cfg["emb_dim"]
+    hd = head_dim(cfg)
+    kq, kk, kv, ko = jax.random.split(key, 4)
+    return {
+        "wq": init_linear(kq, d, cfg["n_heads"] * hd, bias=False, dtype=dtype),
+        "wk": init_linear(kk, d, cfg["num_kv_groups"] * hd, bias=False, dtype=dtype),
+        "wv": init_linear(kv, d, cfg["num_kv_groups"] * hd, bias=False, dtype=dtype),
+        "out_proj": init_linear(ko, cfg["n_heads"] * hd, d, bias=True, dtype=dtype),
+    }
+
+
+def init_block(key, cfg, dtype):
+    ka, kf = jax.random.split(key)
+    d = cfg["emb_dim"]
+    return {
+        "pre_att_norm": init_rms_norm(d, dtype=dtype),
+        "att": init_attention(ka, cfg, dtype),
+        "pre_ffn_norm": init_rms_norm(d, dtype=dtype),
+        "ffn": init_swiglu(kf, d, cfg["hidden_dim"], dtype=dtype),
+    }
+
+
+def init(key, cfg):
+    dtype = model_dtype(cfg)
+    keys = jax.random.split(key, cfg["n_layers"] + 1)
+    params = {
+        "tok_emb": init_embedding(keys[0], cfg["vocab_size"], cfg["emb_dim"], dtype=dtype),
+        "blocks": [init_block(keys[1 + i], cfg, dtype) for i in range(cfg["n_layers"])],
+        "final_norm": init_rms_norm(cfg["emb_dim"], dtype=dtype),
+        # out head tied to tok_emb (reference: llama_model.py:60-61) — no separate params
+    }
+    return params
+
+
+def rope_tables(cfg, *, scaled=False):
+    """(cos, sin) fp32 tables. scaled=True enables YaRN by-parts context
+    extension from cfg["rope_freq"] (the reference skips scaling during
+    pretraining, llama_model.py:49)."""
+    return rope.compute_angles(
+        cfg["rope_base"],
+        head_dim(cfg),
+        cfg["context_length"],
+        smooth_scaling_cfg=cfg.get("rope_freq") if scaled else None,
+    )
+
+
+def init_cache(cfg, batch, max_len, *, dtype=None):
+    return kvc.init_kv_cache(
+        cfg["n_layers"], batch, cfg["num_kv_groups"], max_len, head_dim(cfg), dtype=dtype or model_dtype(cfg)
+    )
+
+
+def _attention(params, cfg, x, mask, cos, sin, cache, layer_idx, position_ids):
+    q = split_heads(linear(params["wq"], x), cfg["n_heads"])
+    k = split_heads(linear(params["wk"], x), cfg["num_kv_groups"])
+    v = split_heads(linear(params["wv"], x), cfg["num_kv_groups"])
+
+    q = rope.apply(q, cos, sin, position_ids)
+    k = rope.apply(k, cos, sin, position_ids)
+
+    if cache is not None:
+        cache, k, v = kvc.update_layer(cache, layer_idx, k, v)
+
+    out = merge_heads(sdpa(q, k, v, mask=mask))
+    return linear(params["out_proj"], out), cache
+
+
+def apply(params, cfg, x, *, attn_mask=None, cache=None, position_ids=None, rope_cos_sin=None, **_):
+    """Forward. x: (b, s) ids. Returns (logits, cache, aux)."""
+    b, s = x.shape
+    cos, sin = rope_cos_sin if rope_cos_sin is not None else rope_tables(cfg)
+
+    pos0 = cache["pos"] if cache is not None else 0
+    if position_ids is None and cache is not None:
+        position_ids = (pos0 + jnp.arange(s))[None, :] * jnp.ones((b, 1), jnp.int32)
+
+    k_len = kvc.max_len(cache) if cache is not None else s
+    mask = causal_mask(s, k_len, q_start=pos0, attn_mask=attn_mask)
+
+    h = embedding(params["tok_emb"], x)
+
+    for i, block in enumerate(params["blocks"]):
+        residual = h
+        hn = rms_norm(block["pre_att_norm"], h)
+        att_out, cache = _attention(block["att"], cfg, hn, mask, cos, sin, cache, i, position_ids)
+        h = residual + att_out
+
+        residual = h
+        h = residual + swiglu(block["ffn"], rms_norm(block["pre_ffn_norm"], h))
+
+    h = rms_norm(params["final_norm"], h)
+    if cache is not None:
+        cache = kvc.advance(cache, s)
+
+    logits = h @ params["tok_emb"]["w"].T  # tied output head
+    return logits, cache, {}

@@ -36,12 +36,15 @@ def init_rms_norm(dim, *, dtype=jnp.float32):
     return {"scale": jnp.ones((dim,), dtype)}
 
 
-def rms_norm(params, x, *, eps=1e-5):
-    """Llama-style RMSNorm: fp32 mean-square island, scale applied in x dtype."""
+def rms_norm(params, x, *, eps=1e-6):
+    """Llama-style RMSNorm: fp32 mean-square island, eps added OUTSIDE the
+    sqrt — x / (RMS(x) + eps) — and partial cast (scale applied after casting
+    the normed value back), matching the reference formula exactly
+    (reference: gpt_to_llama3/llama_transformer_block.py:28-38)."""
     dt = x.dtype
     x32 = x.astype(jnp.float32)
-    ms = jnp.mean(x32 * x32, axis=-1, keepdims=True)
-    normed = x32 * lax.rsqrt(ms + eps)
+    rms = jnp.sqrt(jnp.mean(x32 * x32, axis=-1, keepdims=True))
+    normed = x32 / (rms + eps)
     return (params["scale"] * normed.astype(dt)).astype(dt)
 
 
