@@ -1,0 +1,188 @@
+"""Qwen3 dense + MoE models in functional JAX form.
+
+Behavioral parity with the reference (qwen/qwen3/qwen3_model.py:10-179,
+qwen3_attention.py:8-150, qwen3_transformer_block.py:56-153):
+
+- GQA with QK-RMSNorm applied BEFORE RoPE (Qwen3 training order), full-fp32
+  RMSNorm cast (HF parity — reference: qwen3_attention.py:9-29)
+- head_dim decoupled from emb_dim (d_out = n_heads·head_dim, out_proj back to
+  emb_dim, all projections bias-free)
+- tied output head: tied weights re-initialized Xavier-uniform for
+  pretraining (reference: qwen3_model.py:36-45 — the tie makes the embedding
+  share the Xavier init)
+- gradient checkpointing via jax.checkpoint per block
+- MoE variant: Qwen3MoE FFN with gate/routing replay in/out
+  (reference: qwen3_model.py:97-179)
+"""
+
+import jax
+import jax.numpy as jnp
+
+from llm_quest_tpu.config import model_dtype
+from llm_quest_tpu.inference import cache as kvc
+from llm_quest_tpu.ops import moe as moe_ops
+from llm_quest_tpu.ops import rope
+from llm_quest_tpu.ops.attention import merge_heads, sdpa, split_heads
+from llm_quest_tpu.ops.linear import embedding, init_embedding, init_linear, linear
+from llm_quest_tpu.ops.masks import causal_mask
+from llm_quest_tpu.ops.mlp import init_swiglu, swiglu
+from llm_quest_tpu.ops.norms import init_rms_norm, rms_norm_torch_parity
+
+
+def init_attention(key, cfg, dtype):
+    d = cfg["emb_dim"]
+    hd = cfg["head_dim"]
+    kq, kk, kv, ko = jax.random.split(key, 4)
+    return {
+        "wq": init_linear(kq, d, cfg["n_heads"] * hd, bias=False, dtype=dtype),
+        "wk": init_linear(kk, d, cfg["num_kv_groups"] * hd, bias=False, dtype=dtype),
+        "wv": init_linear(kv, d, cfg["num_kv_groups"] * hd, bias=False, dtype=dtype),
+        "out_proj": init_linear(ko, cfg["n_heads"] * hd, d, bias=False, dtype=dtype),
+        "q_norm": init_rms_norm(hd, dtype=dtype),
+        "k_norm": init_rms_norm(hd, dtype=dtype),
+    }
+
+
+def init_block(key, cfg, dtype, *, is_moe):
+    ka, kf = jax.random.split(key)
+    d = cfg["emb_dim"]
+    block = {
+        "pre_att_norm": init_rms_norm(d, dtype=dtype),
+        "att": init_attention(ka, cfg, dtype),
+        "pre_ffn_norm": init_rms_norm(d, dtype=dtype),
+    }
+    if is_moe:
+        block["moe"] = moe_ops.init_qwen3_moe(kf, cfg, dtype=dtype)
+    else:
+        block["ffn"] = init_swiglu(kf, d, cfg["hidden_dim"], dtype=dtype)
+    return block
+
+
+def init(key, cfg):
+    dtype = model_dtype(cfg)
+    is_moe = cfg.get("model_type", "dense") == "moe"
+    keys = jax.random.split(key, cfg["n_layers"] + 2)
+    if cfg["tie_embeddings"]:
+        # tied head shares the table; Xavier re-init replaces the N(0,1)
+        # embedding init (reference: qwen3_model.py:42-45)
+        bound = (6.0 / (cfg["vocab_size"] + cfg["emb_dim"])) ** 0.5
+        tok_emb = {"w": jax.random.uniform(keys[0], (cfg["vocab_size"], cfg["emb_dim"]), dtype, -bound, bound)}
+    else:
+        tok_emb = init_embedding(keys[0], cfg["vocab_size"], cfg["emb_dim"], dtype=dtype)
+    params = {
+        "tok_emb": tok_emb,
+        "blocks": [init_block(keys[1 + i], cfg, dtype, is_moe=is_moe) for i in range(cfg["n_layers"])],
+        "final_norm": init_rms_norm(cfg["emb_dim"], dtype=dtype),
+    }
+    if not cfg["tie_embeddings"]:
+        params["out"] = init_linear(keys[-1], cfg["emb_dim"], cfg["vocab_size"], bias=False, dtype=dtype)
+    return params
+
+
+def rope_tables(cfg):
+    return rope.compute_angles(cfg["rope_base"], cfg["head_dim"], cfg["context_length"])
+
+
+def init_cache(cfg, batch, max_len, *, dtype=None):
+    return kvc.init_kv_cache(
+        cfg["n_layers"], batch, cfg["num_kv_groups"], max_len, cfg["head_dim"], dtype=dtype or model_dtype(cfg)
+    )
+
+
+def _attention(params, cfg, x, mask, cos, sin, cache, layer_idx, position_ids):
+    q = split_heads(linear(params["wq"], x), cfg["n_heads"])
+    k = split_heads(linear(params["wk"], x), cfg["num_kv_groups"])
+    v = split_heads(linear(params["wv"], x), cfg["num_kv_groups"])
+
+    # QK-norm BEFORE RoPE (reference: qwen3_attention.py:108-115)
+    q = rope.apply(rms_norm_torch_parity(params["q_norm"], q), cos, sin, position_ids)
+    k = rope.apply(rms_norm_torch_parity(params["k_norm"], k), cos, sin, position_ids)
+
+    if cache is not None:
+        cache, k, v = kvc.update_layer(cache, layer_idx, k, v)
+
+    out = merge_heads(sdpa(q, k, v, mask=mask))
+    return linear(params["out_proj"], out), cache
+
+
+def apply(
+    params,
+    cfg,
+    x,
+    *,
+    attn_mask=None,
+    cache=None,
+    position_ids=None,
+    gate_probas=None,
+    training=False,
+    **_,
+):
+    """Forward. x: (b, s) ids. Returns (logits, cache, aux).
+
+    aux: "moe_loss" (MoE variant, training) summed over layers;
+    "gate_probas" list per MoE layer (routing replay capture). gate_probas
+    arg: list per layer (or single array broadcast) to REPLAY routing.
+    """
+    b, s = x.shape
+    is_moe = cfg.get("model_type", "dense") == "moe"
+    cos, sin = rope_tables(cfg)
+
+    pos0 = cache["pos"] if cache is not None else 0
+    if position_ids is None and cache is not None:
+        position_ids = (pos0 + jnp.arange(s))[None, :] * jnp.ones((b, 1), jnp.int32)
+
+    k_len = kvc.max_len(cache) if cache is not None else s
+    mask = causal_mask(s, k_len, q_start=pos0, attn_mask=attn_mask)
+
+    h = embedding(params["tok_emb"], x)
+
+    use_ckpt = cfg.get("gradient_checkpointing", False) and training and cache is None
+    aux = {"gate_probas": []} if is_moe else {}
+    moe_loss = 0.0
+
+    for i, block in enumerate(params["blocks"]):
+        layer_gate_probas = None
+        if gate_probas is not None:
+            layer_gate_probas = gate_probas[i] if isinstance(gate_probas, (list, tuple)) else gate_probas
+
+        def block_fn(block, h, cache):
+            residual = h
+            hn = rms_norm_torch_parity(block["pre_att_norm"], h)
+            att_out, cache = _attention(block["att"], cfg, hn, mask, cos, sin, cache, i, position_ids)
+            h = residual + att_out
+
+            residual = h
+            hn = rms_norm_torch_parity(block["pre_ffn_norm"], h)
+            if is_moe:
+                ffn_out, moe_aux = moe_ops.qwen3_moe(
+                    block["moe"],
+                    hn,
+                    top_k=cfg["top_k"],
+                    load_coeff=cfg["aux_loss_coef"],
+                    gate_probas=layer_gate_probas,
+                    training=training,
+                )
+            else:
+                ffn_out, moe_aux = swiglu(block["ffn"], hn), {}
+            h = residual + ffn_out
+            return h, cache, moe_aux
+
+        fn = jax.checkpoint(block_fn) if use_ckpt else block_fn
+        h, cache, moe_aux = fn(block, h, cache)
+        if is_moe:
+            aux["gate_probas"].append(moe_aux["gate_probas"])
+            if "moe_loss" in moe_aux:
+                moe_loss = moe_loss + moe_aux["moe_loss"]
+
+    if is_moe and training:
+        aux["moe_loss"] = moe_loss
+
+    h = rms_norm_torch_parity(params["final_norm"], h)
+    if cache is not None:
+        cache = kvc.advance(cache, s)
+
+    if cfg["tie_embeddings"]:
+        logits = h @ params["tok_emb"]["w"].T
+    else:
+        logits = linear(params["out"], h)
+    return logits, cache, aux
