@@ -161,6 +161,36 @@ def pref_reward_collate(batch, pad_token_id=PAD_TOKEN_ID, allowed_max_length=Non
     return out
 
 
+def collate_function_mtp(batch, mtp_depth, custom_max_len=None, pad_token_id=PAD_TOKEN_ID):
+    """MTP collator (reference: llama3_to_deepseekv3/custom_collate_mtp.py:5-176):
+    the base (inputs, targets) pair plus ``mtp_depth`` pre-shifted pairs where
+    shift-k inputs drop the first k tokens (pad fill) and shift-k targets
+    shift likewise with -100 fill.
+
+    Returns dict {"input_ids", "targets", "shifted_inputs": [k], "shifted_targets": [k]}.
+    """
+    base = collate_function(batch, custom_max_len, pad_token_id)
+    inputs, targets = base["input_ids"], base["targets"]
+    s = inputs.shape[1]
+
+    shifted_inputs, shifted_targets = [], []
+    for k in range(1, mtp_depth + 1):
+        s_x = np.full_like(inputs, pad_token_id)
+        s_y = np.full_like(targets, NO_LOSS_ID)
+        s_x[:, : s - k] = inputs[:, k:]
+        s_y[:, : s - k] = targets[:, k:]
+        shifted_inputs.append(s_x)
+        shifted_targets.append(s_y)
+
+    return {
+        "input_ids": inputs,
+        "targets": targets,
+        "attn_mask": base["attn_mask"],
+        "shifted_inputs": shifted_inputs,
+        "shifted_targets": shifted_targets,
+    }
+
+
 def pad_to_multiple(batch_dict, multiple=128, pad_token_id=PAD_TOKEN_ID):
     """Pad the sequence dim of a collated batch up to a multiple — keeps the
     number of distinct XLA-compiled shapes tiny (TPU-specific addition)."""
