@@ -1,0 +1,162 @@
+"""GatedDeltaNet primitives: SSM-style decay, gated delta rule, causal conv.
+
+Behavioral parity with the reference (qwen/qwen3_next/qwen3_next_attention.py):
+
+- ``compute_alpha_factor`` (:71-100): α = exp(−exp(log_A)·softplus(a + dt_bias))
+- ``gated_delta_rule`` (:103-159): per-timestep fp32 recurrence
+      S_t = α_t·S_{t−1} + β_t·(v_t − α_t·S_{t−1}k_t) k_tᵀ,  o_t = S_t q_t
+  with state S: (b, heads, v_dim, qk_dim) and q scaled by qk_dim^-0.5.
+- ``l2_norm_clamp`` (:51-60): x/max(‖x‖₂, 1e-6) — the clamp variant the
+  reference uses inside GDN (vs the +eps "official" variant in ops/norms.py).
+- depthwise causal Conv1d (:313-340): kernel_size-1 left padding, no bias,
+  groups=channels (temporal conv per channel).
+
+TPU redesign: the reference's python loop over t becomes ``jax.lax.scan``
+(single compiled step, state as carry) — correct for training and the oracle
+for the chunked Pallas kernel (kernels/gdn_pallas.py) that takes over the long
+-sequence path. Decode uses the explicit single-step forms with rolling conv
+state, mirroring Qwen3.5's ``_causal_conv1d_update`` / ``_gated_delta_rule_step``
+(reference: qwen3_5_text_model.py:425-507).
+"""
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def l2_norm_clamp(x):
+    """x / max(‖x‖₂, 1e-6) (reference: qwen3_next_attention.py:51-60)."""
+    dt = x.dtype
+    x32 = x.astype(jnp.float32)
+    norm = jnp.linalg.norm(x32, axis=-1, keepdims=True)
+    return (x32 / jnp.maximum(norm, 1e-6)).astype(dt)
+
+
+def compute_alpha_factor(log_A, a, dt_bias):
+    """α = exp(−exp(log_A)·softplus(a + dt_bias)) ∈ (0,1), fp32.
+
+    log_A/dt_bias: (num_v_heads,); a: (b, s, num_v_heads).
+    Returns (b, s, num_v_heads).
+    """
+    A = jnp.exp(log_A.astype(jnp.float32))
+    delta_t = jax.nn.softplus(a.astype(jnp.float32) + dt_bias.astype(jnp.float32))
+    return jnp.exp(-A * delta_t)
+
+
+def gated_delta_rule(q, k, v, beta, alpha, prev_state=None):
+    """Recurrent gated delta rule over a sequence (lax.scan, fp32).
+
+    q/k: (b, h, s, dk) — heads already repeated to match v heads.
+    v: (b, h, s, dv); beta/alpha: (b, h, s).
+    prev_state: (b, h, dv, dk) or None (zeros).
+
+    Returns (out (b, h, s, dv) in q's dtype, final_state fp32).
+    """
+    b, h, s, dk = k.shape
+    dv = v.shape[-1]
+    dt = q.dtype
+    scale = dk**-0.5
+
+    q32 = q.astype(jnp.float32) * scale
+    k32 = k.astype(jnp.float32)
+    v32 = v.astype(jnp.float32)
+    beta32 = beta.astype(jnp.float32)
+    alpha32 = alpha.astype(jnp.float32)
+
+    if prev_state is None:
+        prev_state = jnp.zeros((b, h, dv, dk), jnp.float32)
+
+    def step(state, xs):
+        q_t, k_t, v_t, beta_t, alpha_t = xs  # (b,h,dk),(b,h,dk),(b,h,dv),(b,h),(b,h)
+        gated = alpha_t[..., None, None] * state  # (b, h, dv, dk)
+        v_old = jnp.einsum("bhvk,bhk->bhv", gated, k_t)
+        delta = beta_t[..., None] * (v_t - v_old)  # (b, h, dv)
+        state = gated + delta[..., :, None] * k_t[..., None, :]  # outer product
+        out_t = jnp.einsum("bhvk,bhk->bhv", state, q_t)
+        return state, out_t
+
+    xs = (
+        jnp.moveaxis(q32, 2, 0),
+        jnp.moveaxis(k32, 2, 0),
+        jnp.moveaxis(v32, 2, 0),
+        jnp.moveaxis(beta32, 2, 0),
+        jnp.moveaxis(alpha32, 2, 0),
+    )
+    final_state, outs = lax.scan(step, prev_state, xs)
+    return jnp.moveaxis(outs, 0, 2).astype(dt), final_state
+
+
+def gated_delta_rule_step(q_t, k_t, v_t, beta_t, alpha_t, state):
+    """Single decode step (reference: qwen3_5_text_model.py:459-507).
+
+    q_t/k_t: (b, h, dk); v_t: (b, h, dv); beta_t/alpha_t: (b, h);
+    state: (b, h, dv, dk) fp32. Returns (out (b, h, dv), new_state).
+    """
+    dk = k_t.shape[-1]
+    q32 = q_t.astype(jnp.float32) * dk**-0.5
+    k32 = k_t.astype(jnp.float32)
+    v32 = v_t.astype(jnp.float32)
+
+    gated = alpha_t.astype(jnp.float32)[..., None, None] * state
+    v_old = jnp.einsum("bhvk,bhk->bhv", gated, k32)
+    delta = beta_t.astype(jnp.float32)[..., None] * (v32 - v_old)
+    state = gated + delta[..., :, None] * k32[..., None, :]
+    out = jnp.einsum("bhvk,bhk->bhv", state, q32)
+    return out.astype(q_t.dtype), state
+
+
+def init_conv1d(key, channels, kernel_size, *, dtype=jnp.float32):
+    """Depthwise conv weights (channels, kernel_size), torch Conv1d init
+    (kaiming-uniform with fan_in = kernel_size for groups=channels)."""
+    bound = 1.0 / (kernel_size**0.5)
+    return {"w": jax.random.uniform(key, (channels, kernel_size), dtype, -bound, bound)}
+
+
+def causal_conv1d(params, x):
+    """Depthwise causal temporal convolution.
+
+    x: (b, s, c) → (b, s, c); left-pads kernel_size-1 zeros so output t only
+    sees inputs ≤ t (reference: qwen3_next_attention.py:313-340 with the
+    [..., :seq_len] truncation).
+    """
+    w = params["w"]  # (c, k)
+    c, ksz = w.shape
+    x_t = jnp.moveaxis(x, 1, 2)  # (b, c, s)
+    out = lax.conv_general_dilated(
+        x_t.astype(w.dtype),
+        w[:, None, :],  # (c, 1, k) — OIW with feature groups
+        window_strides=(1,),
+        padding=[(ksz - 1, 0)],
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        feature_group_count=c,
+    )
+    return jnp.moveaxis(out, 1, 2).astype(x.dtype)  # (b, s, c)
+
+
+def causal_conv1d_update(params, x_t, conv_state):
+    """Single-step conv with rolling state.
+
+    x_t: (b, c) new input; conv_state: (b, c, kernel_size-1) previous inputs
+    (oldest first). Returns (out (b, c), new_conv_state).
+    (reference: qwen3_5_text_model.py:425-456)
+    """
+    w = params["w"]  # (c, k)
+    window = jnp.concatenate([conv_state, x_t[:, :, None]], axis=-1)  # (b, c, k)
+    out = jnp.sum(window * w[None], axis=-1)  # (b, c)
+    new_state = window[:, :, 1:]
+    return out.astype(x_t.dtype), new_state
+
+
+def conv_state_from_prefill(x, kernel_size):
+    """Rolling conv state after a prefill: the last kernel_size-1 inputs,
+    zero-padded on the left if the sequence is shorter.
+
+    x: (b, s, c) conv INPUT sequence → (b, c, kernel_size-1).
+    """
+    b, s, c = x.shape
+    pad = max(kernel_size - 1 - s, 0)
+    tail = x[:, max(s - (kernel_size - 1), 0) :, :]  # (b, ≤k-1, c)
+    tail = jnp.moveaxis(tail, 1, 2)  # (b, c, ≤k-1)
+    if pad:
+        tail = jnp.concatenate([jnp.zeros((b, c, pad), x.dtype), tail], axis=-1)
+    return tail
