@@ -32,6 +32,16 @@ def layer_norm(params, x, *, eps=1e-5):
     return params["scale"] * norm_x + params["shift"]
 
 
+def layer_norm_torch(params, x, *, eps=1e-6):
+    """Standard torch nn.LayerNorm: (x − μ)/sqrt(σ² + eps)·γ + β — eps INSIDE
+    the sqrt, unlike the GPT-2 (std + eps) variant above. Used by the Qwen3.5
+    vision tower (reference: qwen3_5_vision_model.py:224-226, nn.LayerNorm)."""
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    norm_x = (x - mean) * lax.rsqrt(var + eps)
+    return params["scale"] * norm_x + params["shift"]
+
+
 def init_rms_norm(dim, *, dtype=jnp.float32):
     return {"scale": jnp.ones((dim,), dtype)}
 
