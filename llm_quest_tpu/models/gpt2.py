@@ -96,6 +96,7 @@ def apply(
     position_ids=None,
     deterministic=True,
     rng=None,
+    output_hidden_states=False,
 ):
     """Forward pass. x: (b, s) token ids, or (b, s, emb_dim) if input_embedded.
 
@@ -139,6 +140,9 @@ def apply(
 
     if cache is not None:
         cache = kvc.advance(cache, s)
+
+    if output_hidden_states:
+        return h, cache, {}
 
     if last_token_only:
         assert attn_mask is not None, "attn_mask is needed for last_token_only=True"
