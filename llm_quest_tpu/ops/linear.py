@@ -24,10 +24,15 @@ def init_linear(key, in_dim, out_dim, *, bias=True, dtype=jnp.float32):
 
 
 def linear(params, x):
-    """x @ w (+ b). x: (..., in_dim) → (..., out_dim)."""
+    """x @ w (+ b) (+ LoRA delta when a "lora" sub-dict is present —
+    see ops/lora.py). x: (..., in_dim) → (..., out_dim)."""
     y = x @ params["w"]
     if "b" in params:
         y = y + params["b"]
+    if "lora" in params:
+        from llm_quest_tpu.ops.lora import lora_delta
+
+        y = y + lora_delta(params["lora"], x)
     return y
 
 

@@ -1,0 +1,178 @@
+"""LoRA family: classic LoRA, LoRA-XS, TinyLoRA — as params-tree transforms.
+
+Behavioral parity with the reference (common/lora.py):
+- LoRA (:9-64): y = xW + α/r·xAB; A ~ N(0, 0.02), B zero-init
+- LoRA-XS (:92-157): frozen A = U_r·Σ_r, B = V_rᵀ from the truncated SVD of
+  W; trainable (r, r) R ~ N(0, 1e-5); y = xW + α/r·xARB
+- TinyLoRA (:160-244): R = (v @ P_flat).reshape(r, r) from u trainable
+  scalars v and fixed N(0,1) matrices P; optional v tied across layers
+- replace_with_lora (:69-89): recursive wrap of every linear
+
+TPU redesign — no module wrappers: ``replace_with_lora`` augments matching
+linear param dicts with a "lora" sub-dict; ``ops.linear.linear`` applies the
+delta when present. Freezing is an OPTIMIZER concern in functional JAX:
+``lora_trainable_mask`` yields the bool pytree for ``optax.masked`` so only
+A/B (LoRA), R (XS) or v (Tiny) receive updates.
+
+TinyLoRA v-tying: separate leaves can't alias in a pytree, so tying is two
+helpers — ``inject_shared_v`` broadcasts one vector into every tiny-LoRA
+layer before apply, and the tied gradient is the SUM of the per-layer v
+grads (exactly what autodiff of a shared parameter yields).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def init_lora(key, linear_params, r, alpha, *, dtype=None):
+    """Classic LoRA sub-dict for a linear {"w": (d, k)}."""
+    w = linear_params["w"]
+    dtype = dtype or w.dtype
+    d, k = w.shape
+    return {
+        "A": (0.02 * jax.random.normal(key, (d, r))).astype(dtype),
+        "B": jnp.zeros((r, k), dtype),
+        "scale": jnp.asarray(alpha / r, jnp.float32),
+    }
+
+
+def init_lora_xs(key, linear_params, r, alpha, *, dtype=None):
+    """LoRA-XS: frozen truncated-SVD A/B, trainable R."""
+    w = linear_params["w"]
+    dtype = dtype or w.dtype
+    u, s, vt = np.linalg.svd(np.asarray(w, np.float32), full_matrices=False)
+    return {
+        "A": jnp.asarray(u[:, :r] @ np.diag(s[:r]), dtype),  # frozen
+        "B": jnp.asarray(vt[:r, :], dtype),  # frozen
+        "R": (1e-5 * jax.random.normal(key, (r, r))).astype(dtype),
+        "scale": jnp.asarray(alpha / r, jnp.float32),
+    }
+
+
+def init_tiny_lora(key, linear_params, r, alpha, *, num_trainable_params=13, shared_v=False, dtype=None):
+    """TinyLoRA: frozen SVD A/B + fixed P; trainable v (absent when tied —
+    inject via inject_shared_v before apply)."""
+    w = linear_params["w"]
+    dtype = dtype or w.dtype
+    u, s, vt = np.linalg.svd(np.asarray(w, np.float32), full_matrices=False)
+    params = {
+        "A": jnp.asarray(u[:, :r] @ np.diag(s[:r]), dtype),
+        "B": jnp.asarray(vt[:r, :], dtype),
+        "P": jax.random.normal(key, (num_trainable_params, r * r)).astype(dtype),
+        "scale": jnp.asarray(alpha / r, jnp.float32),
+    }
+    if not shared_v:
+        params["v"] = jnp.zeros((num_trainable_params,), dtype)
+    return params
+
+
+def lora_delta(lora, x):
+    """The low-rank update α/r · x·(update) for any variant (by structure)."""
+    scale = lora["scale"].astype(x.dtype)
+    if "v" in lora or "P" in lora:  # TinyLoRA
+        r = int(lora["A"].shape[-1])
+        R = (lora["v"] @ lora["P"]).reshape(r, r)
+        return scale * (x @ lora["A"] @ R.astype(x.dtype) @ lora["B"])
+    if "R" in lora:  # LoRA-XS
+        return scale * (x @ lora["A"] @ lora["R"] @ lora["B"])
+    return scale * (x @ lora["A"] @ lora["B"])  # classic
+
+
+def _is_linear(node):
+    return isinstance(node, dict) and "w" in node and hasattr(node["w"], "ndim") and node["w"].ndim == 2
+
+
+def replace_with_lora(key, params, rank, alpha, *, variant="lora", path_filter=None, **kw):
+    """Walk the params tree, augment every matching 2-D linear with a "lora"
+    sub-dict (reference: lora.py:69-89). path_filter(path_str) → bool limits
+    the wrap (e.g. lambda p: "att" in p)."""
+    init_fn = {"lora": init_lora, "lora_xs": init_lora_xs, "tiny_lora": init_tiny_lora}[variant]
+    counter = [0]
+
+    def walk(node, path):
+        if _is_linear(node) and (path_filter is None or path_filter(path)):
+            counter[0] += 1
+            sub = jax.random.fold_in(key, counter[0])
+            return {**node, "lora": init_fn(sub, node, rank, alpha, **kw)}
+        if isinstance(node, dict):
+            return {k: walk(v, f"{path}/{k}") for k, v in node.items()}
+        if isinstance(node, list):
+            return [walk(v, f"{path}/{i}") for i, v in enumerate(node)]
+        return node
+
+    return walk(params, "")
+
+
+def lora_trainable_mask(params):
+    """Bool pytree: True only on trainable LoRA leaves (A/B, R, or v).
+    Freeze the rest via
+    ``optax.multi_transform({"train": tx, "freeze": optax.set_to_zero()},
+    jax.tree.map(lambda m: "train" if m else "freeze", mask))``."""
+
+    def walk(node, in_lora=False, siblings=()):
+        if isinstance(node, dict):
+            return {
+                k: walk(v, in_lora or k == "lora", tuple(node.keys())) for k, v in node.items()
+            }
+        if isinstance(node, list):
+            return [walk(v, in_lora, siblings) for v in node]
+        return False
+
+    def mark(node):
+        if not isinstance(node, dict):
+            return node
+        out = {}
+        for k, v in node.items():
+            if k == "lora" and isinstance(v, dict):
+                if "v" in v:
+                    trainable = {"v"}
+                elif "R" in v:
+                    trainable = {"R"}
+                else:
+                    trainable = {"A", "B"}
+                out[k] = {kk: (kk in trainable) for kk in v}
+            elif isinstance(v, dict):
+                out[k] = mark(v)
+            elif isinstance(v, list):
+                out[k] = [mark(x) for x in v]
+            else:
+                out[k] = False
+        return out
+
+    return mark(params)
+
+
+def inject_shared_v(params, v):
+    """Tie one TinyLoRA v across all layers: set it on every tiny-LoRA dict
+    missing (or holding) "v". Gradient of the tied v = SUM over layers."""
+
+    def walk(node):
+        if isinstance(node, dict):
+            if "P" in node and "A" in node and "B" in node:  # tiny lora dict
+                return {**node, "v": v}
+            return {k: walk(x) for k, x in node.items()}
+        if isinstance(node, list):
+            return [walk(x) for x in node]
+        return node
+
+    return walk(params)
+
+
+def collect_shared_v_grad(grads):
+    """Sum the per-layer v grads (the tied-parameter gradient)."""
+    total = None
+
+    def walk(node):
+        nonlocal total
+        if isinstance(node, dict):
+            if "P" in node and "v" in node:
+                total = node["v"] if total is None else total + node["v"]
+            for x in node.values():
+                walk(x)
+        elif isinstance(node, list):
+            for x in node:
+                walk(x)
+
+    walk(grads)
+    return total
