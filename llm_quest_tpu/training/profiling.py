@@ -1,0 +1,64 @@
+"""Profiling & throughput instrumentation.
+
+Reference behavior (SURVEY §5.1): torch.profiler wrapper with tensorboard
+trace handler (engine.py:499-640) and a timed loop printing interval +
+cumulative tok/s and memory GB (engine.py:270-374). TPU equivalents:
+jax.profiler traces (XPlane, viewable in TensorBoard/Perfetto) and a
+ThroughputMeter reading device memory stats.
+"""
+
+import contextlib
+import time
+
+import jax
+
+
+@contextlib.contextmanager
+def profile_trace(logdir, *, with_memory=True):
+    """jax.profiler trace context → TensorBoard-readable XPlane dump
+    (TPU counterpart of engine.py:499-640)."""
+    jax.profiler.start_trace(logdir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def device_memory_gb(device=None):
+    """(allocated_gb, limit_gb) from PJRT memory stats (engine.py:358-372
+    counterpart); (0, 0) when the backend doesn't expose stats."""
+    device = device or jax.devices()[0]
+    stats = getattr(device, "memory_stats", lambda: None)()
+    if not stats:
+        return 0.0, 0.0
+    return stats.get("bytes_in_use", 0) / 1e9, stats.get("bytes_limit", 0) / 1e9
+
+
+class ThroughputMeter:
+    """Interval + cumulative tokens/sec tracking (engine.py:270-374)."""
+
+    def __init__(self):
+        self.t0 = time.perf_counter()
+        self.t_last = self.t0
+        self.tokens_total = 0
+        self.tokens_interval = 0
+
+    def update(self, num_tokens):
+        self.tokens_total += num_tokens
+        self.tokens_interval += num_tokens
+
+    def report(self):
+        """Returns dict with interval/cumulative tok/s + memory; resets the
+        interval window."""
+        now = time.perf_counter()
+        interval = self.tokens_interval / max(now - self.t_last, 1e-9)
+        cumulative = self.tokens_total / max(now - self.t0, 1e-9)
+        self.t_last = now
+        self.tokens_interval = 0
+        alloc, limit = device_memory_gb()
+        return {
+            "tok_s_interval": interval,
+            "tok_s_cumulative": cumulative,
+            "mem_gb_allocated": alloc,
+            "mem_gb_limit": limit,
+        }

@@ -1,0 +1,148 @@
+"""Infra tests: checkpointing, profiling meter, datasets, classifier engine."""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from llm_quest_tpu.data import datasets as ds
+from llm_quest_tpu.models import gpt2
+from llm_quest_tpu.training.checkpointing import load_checkpoint, save_checkpoint, save_if_best
+from llm_quest_tpu.training.classifier import (
+    classifier_accuracy,
+    make_classifier_eval_step,
+    make_classifier_train_step,
+)
+from llm_quest_tpu.training.profiling import ThroughputMeter
+from llm_quest_tpu.utils import CheckpointEvaluator
+
+TINY = {"vocab_size": 64, "context_length": 32, "emb_dim": 16, "n_heads": 2, "n_layers": 1,
+        "drop_rate": 0.0, "qkv_bias": False}
+
+
+class CharTok:
+    def encode(self, text):
+        return [min(b, 63) for b in text.encode()]
+
+    def decode(self, ids):
+        return bytes(int(i) for i in ids).decode(errors="ignore")
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    params = gpt2.init(jax.random.PRNGKey(0), TINY)
+    opt = optax.adamw(1e-3)
+    opt_state = opt.init(params)
+    path = save_checkpoint(str(tmp_path / "ckpt"), params, opt_state=opt_state, step=7)
+    restored = load_checkpoint(path)
+    diffs = jax.tree.map(lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+                         params, restored["params"])
+    assert max(jax.tree.leaves(diffs)) == 0.0
+    assert int(restored["step"]) == 7
+    assert "opt_state" in restored
+
+
+def test_save_if_best_gating(tmp_path):
+    params = {"w": jnp.ones((2,))}
+    ev = CheckpointEvaluator(kl_div_threshold=0.5, min_reward_threshold=6.0)
+    assert not save_if_best(str(tmp_path / "a"), ev, "rlhf", {"kl": 0.9, "reward": 10.0}, params)
+    assert save_if_best(str(tmp_path / "b"), ev, "rlhf", {"kl": 0.1, "reward": 8.0}, params)
+    assert load_checkpoint(str(tmp_path / "b"))["params"]["w"].shape == (2,)
+
+
+def test_throughput_meter():
+    m = ThroughputMeter()
+    m.update(1000)
+    r = m.report()
+    assert r["tok_s_interval"] > 0 and r["tok_s_cumulative"] > 0
+
+
+def test_spam_dataset_and_classifier_engine(tmp_path):
+    rows = [("buy cheap pills now", 1), ("hi mom how are you", 0), ("free money claim prize", 1),
+            ("see you at dinner", 0)]
+    data = ds.spam_dataset(rows, CharTok())
+    assert data["input_ids"].shape[0] == 4
+    assert data["attn_mask"].dtype == bool
+    # consistent max_length reuse for the val set
+    val = ds.spam_dataset(rows[:2], CharTok(), max_length=data["max_length"])
+    assert val["input_ids"].shape[1] == data["max_length"]
+
+    # classifier engine end-to-end on the toy task
+    params = gpt2.init(jax.random.PRNGKey(0), TINY)
+    batch = {k: jnp.asarray(v) for k, v in data.items() if k != "max_length"}
+    optimizer = optax.adamw(1e-3)
+    opt_state = optimizer.init(params)
+    # binary task: model head has 64 classes, labels 0/1 still valid targets
+    step = make_classifier_train_step(gpt2, TINY, optimizer)
+    _, _, loss0 = step(params, opt_state, batch)
+    for _ in range(40):
+        params, opt_state, loss = step(params, opt_state, batch)
+    assert float(loss) < float(loss0)
+    eval_step = make_classifier_eval_step(gpt2, TINY)
+    assert classifier_accuracy([batch], eval_step, params) >= 0.5
+
+
+def test_reasoning_dataset(tmp_path):
+    path = tmp_path / "gsm8k.jsonl"
+    entries = [{"question": "What is 2+2?", "answer": "2 plus 2 equals 4.\n#### 4"}]
+    path.write_text("\n".join(json.dumps(e) for e in entries))
+    out = ds.reasoning_dataset(str(path), CharTok())
+    assert len(out) == 1
+    assert out[0]["answer"].strip() == "4"  # raw gold answer from <answer> tags (unsanitized, reference parity)
+    assert isinstance(out[0]["prompt"], list)
+
+
+def test_preference_dataset(tmp_path):
+    path = tmp_path / "pref.json"
+    entries = [{"instruction": "Greet", "input": "", "chosen": "Hello!", "rejected": "Go away."}]
+    path.write_text(json.dumps(entries))
+    out = ds.preference_dataset(str(path), CharTok())
+    assert set(out[0]) == {"prompt", "chosen", "rejected"}
+    assert len(out[0]["chosen"]) > len(out[0]["prompt"])  # includes prompt + response
+    prompts = ds.preference_dataset(str(path), CharTok(), prompts_only=True)
+    assert prompts[0] == out[0]["prompt"]
+
+
+def test_rpt_structured_dataset():
+    entries = [{"question": "Count to five:", "answer": "one two three four five\n#### five"}]
+
+    class ByteTok:  # full byte range — host-side only, no vocab clamp needed
+        def encode(self, t):
+            return list(t.encode())
+
+        def decode(self, ids):
+            return bytes(int(i) for i in ids).decode(errors="ignore")
+
+    tok = ByteTok()
+    samples, allowed, getter = ds.rpt_structured_dataset(
+        entries, tok, max_context_length=256, labels_length=5, min_context_tokens=3
+    )
+    assert len(allowed) > 0
+    item = getter(0)
+    assert isinstance(item["prompt"], list) and isinstance(item["labels"], str)
+    # labels are the continuation right after the context
+    s_idx, t_idx = allowed[0]
+    want = tok.decode(samples[0][t_idx + 1 : t_idx + 6])
+    assert item["labels"] == want
+    # answer reformatted to <answer> tags
+    assert "<answer>five</answer>" in tok.decode(samples[0])
+
+
+def test_normalize_images():
+    imgs = (np.ones((2, 8, 8, 3)) * 255).astype(np.uint8)
+    out = ds.normalize_images(imgs)
+    assert out.shape == (2, 3, 8, 8)
+    # value 1.0 normalized by CIFAR stats
+    np.testing.assert_allclose(out[0, 0, 0, 0], (1.0 - 0.4914) / 0.2470, rtol=1e-4)
+
+
+def test_multimodal_batches():
+    imgs = np.zeros((4, 8, 8, 3), np.uint8)
+    caps = ["a cat", "a dog", "a bird", "a fish"]
+    batches = ds.multimodal_batches(imgs, caps, CharTok(), batch_size=2)
+    assert len(batches) == 2
+    assert batches[0]["image"].shape == (2, 3, 8, 8)
+    assert batches[0]["input_ids"].shape[0] == 2
+    assert batches[0]["attention_mask"].dtype == bool
