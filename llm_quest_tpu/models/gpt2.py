@@ -97,6 +97,7 @@ def apply(
     deterministic=True,
     rng=None,
     output_hidden_states=False,
+    **_,
 ):
     """Forward pass. x: (b, s) token ids, or (b, s, emb_dim) if input_embedded.
 

@@ -117,6 +117,7 @@ def make_train_step(model, cfg, optimizer, *, classification=False, has_dropout=
             last_token_only=classification,
             deterministic=not has_dropout,
             rng=rng if has_dropout else None,
+            training=True,  # enables MoE aux losses / checkpointing in models that use them
         )
         return global_loss(logits, batch["targets"], aux, classification=classification)
 
