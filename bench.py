@@ -1,12 +1,10 @@
 """Headline benchmark — prints ONE JSON line for the driver.
 
-Current headline: GPT-2 124M batched KV-cache decode throughput (tokens/sec)
-on one chip, greedy. vs_baseline compares against the reference's best
-published tokens/sec on its own hardware (47.3 tok/s avg speculative-decoding
-throughput, speculative_decoding/README.md:67 — the only tok/s it publishes).
-
-Upgraded to the BASELINE.json north-star metrics (ViT images/sec/chip,
-Qwen3.5 VLM decode tok/s/chip) as those paths land.
+North-star metric (BASELINE.json): ViT-B 224px image encode throughput,
+images/sec/chip, bf16, batch 128, pure-device time measured via an in-graph
+fori_loop (one dispatch + one scalar transfer — the tunnel's
+block_until_ready is unreliable for async dispatch). vs_baseline compares
+against the 4000 images/sec/chip target.
 """
 
 import json
@@ -14,46 +12,42 @@ import time
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 
-def bench_gpt2_decode(batch=8, prompt_len=32, max_gen=128):
-    from llm_quest_tpu.config import GPT_CONFIG_124M
-    from llm_quest_tpu.inference import generate as gen
-    from llm_quest_tpu.models import gpt2
+def bench_vit_encode(batch=128, iters=20):
+    from llm_quest_tpu.config import VIT_BASE_CONFIG
+    from llm_quest_tpu.models import vit
 
-    cfg = dict(GPT_CONFIG_124M)
-    cfg["dtype"] = jnp.bfloat16
-    params = gpt2.init(jax.random.PRNGKey(0), cfg)
+    cfg = dict(VIT_BASE_CONFIG, dtype=jnp.bfloat16, drop_rate=0.0)
+    params = vit.init(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (batch, 3, 224, 224), jnp.bfloat16)
 
-    prompt = jnp.ones((batch, prompt_len), dtype=jnp.int32)
-    mask = jnp.ones((batch, prompt_len), dtype=bool)
+    @jax.jit
+    def loop(p, x):
+        def body(i, acc):
+            h = vit.apply(p, cfg, x + acc * 0.0, output_hidden_states=True)  # data-dep: no CSE
+            return acc + jnp.sum(h[:, 0, :8].astype(jnp.float32))
 
-    def run():
-        out = gen.generate_batched_kv_cache(
-            gpt2, params, cfg, prompt, mask, max_gen=max_gen, temp=0.0, eos_ids=-1, pad_id=50256
-        )
-        jax.block_until_ready(out["sequences"])
-        return out
+        return lax.fori_loop(0, iters, body, 0.0)
 
-    run()  # compile
-    n_iters = 3
+    float(loop(params, x))  # compile + warm
     t0 = time.perf_counter()
-    for _ in range(n_iters):
-        run()
-    dt = (time.perf_counter() - t0) / n_iters
-    return batch * max_gen / dt
+    float(loop(params, x))
+    dt = (time.perf_counter() - t0) / iters
+    return batch / dt
 
 
 if __name__ == "__main__":
-    tok_s = bench_gpt2_decode()
-    baseline = 47.3  # reference speculative_decoding/README.md:67
+    img_s = bench_vit_encode()
+    target = 4000.0  # BASELINE.json north-star: >=4k 224px images/sec/chip ViT-B encode
     print(
         json.dumps(
             {
-                "metric": "gpt2_124m_decode_tok_s_chip",
-                "value": round(tok_s, 1),
-                "unit": "tokens/sec/chip",
-                "vs_baseline": round(tok_s / baseline, 2),
+                "metric": "vit_b_224px_encode_images_per_sec_chip",
+                "value": round(img_s, 1),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(img_s / target, 3),
             }
         )
     )

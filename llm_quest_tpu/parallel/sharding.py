@@ -47,14 +47,14 @@ sharding_rules_gpt2 = [
     (r".*/out/w$", P(None, "model")),
 ]
 
-# Llama/Gemma/Qwen family: att/{wq,wk,wv,out_proj}, ffn/{gate,up,down}
+# Llama/Gemma/Qwen family: att/{wq,wk,wv,out_proj}, ffn/{gate,up,down};
+# stacked-expert arrays (n_experts, in, out) shard the EXPERT dim (EP)
 sharding_rules_llama = [
-    (r".*/(wq|wk|wv)/w$", P(None, "model")),
+    (r".*/(wq|wk|wv|wqg|w_qkv)/w$", P(None, "model")),
     (r".*/out_proj/w$", P("model", None)),
     (r".*/ffn/(gate|up)/w$", P(None, "model")),
     (r".*/ffn/down/w$", P("model", None)),
-    # MoE experts: stacked (n_experts, in, out) — shard the expert dim (EP)
-    (r".*/experts/(gate|up|down)/w$", P("model", None, None)),
+    (r".*/(experts|routed|shared)/(lin1|gate|lin2)$", P("model", None, None)),  # EP
     (r".*emb/w$", P("model", None)),
     (r".*/out/w$", P(None, "model")),
 ]
