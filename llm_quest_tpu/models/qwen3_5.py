@@ -261,7 +261,11 @@ def fused_gdn(params, cfg, x, attn_mask_cur, gdn_state):
         k = jnp.repeat(k, num_repeat, axis=1)
 
     prev = gdn_state["recurrent"] if gdn_state is not None else None
-    ctx, final_state = gdn_ops.gated_delta_rule(q, k, v, beta, alpha, prev_state=prev)
+    chunk = cfg.get("gdn_chunk_size", 64)
+    if x.shape[1] >= 2 * chunk:
+        ctx, final_state = gdn_ops.gated_delta_rule_chunked(q, k, v, beta, alpha, prev_state=prev, chunk_size=chunk)
+    else:
+        ctx, final_state = gdn_ops.gated_delta_rule(q, k, v, beta, alpha, prev_state=prev)
 
     out = _gdn_output(params, cfg, x, ctx)
     new_state = None

@@ -139,3 +139,33 @@ def test_gdn_masking_zeroes_padded_tokens():
     mask_pad = jnp.concatenate([mask_full, jnp.zeros((1, 2), bool)], axis=1)
     logits_pad, _, _ = qnext.apply(params, TINY, x_pad, attn_mask=mask_pad)
     assert jnp.allclose(logits_full, logits_pad[:, :8], atol=1e-4)
+
+
+def test_chunked_gdn_matches_scan_oracle():
+    """Chunked-parallel gated delta rule == scan recurrence (normalized-key
+    domain, the only one GDN operates in)."""
+    rng = np.random.default_rng(5)
+    b, h, s, dk, dv = 2, 3, 130, 16, 24
+    q = gdn_ops.l2_norm_clamp(jnp.asarray(rng.normal(size=(b, h, s, dk)), jnp.float32))
+    k = gdn_ops.l2_norm_clamp(jnp.asarray(rng.normal(size=(b, h, s, dk)), jnp.float32))
+    v = jnp.asarray(rng.normal(size=(b, h, s, dv)), jnp.float32)
+    beta = jnp.asarray(rng.uniform(0, 1, size=(b, h, s)), jnp.float32)
+    alpha = jnp.asarray(rng.uniform(0.001, 1, size=(b, h, s)), jnp.float32)
+    S0 = jnp.asarray(rng.normal(size=(b, h, dv, dk)), jnp.float32)
+
+    ref_o, ref_s = gdn_ops.gated_delta_rule(q, k, v, beta, alpha, prev_state=S0)
+    for cs in (16, 64):
+        o, st = gdn_ops.gated_delta_rule_chunked(q, k, v, beta, alpha, prev_state=S0, chunk_size=cs)
+        assert float(jnp.abs(ref_o - o).max()) < 1e-4, cs
+        assert float(jnp.abs(ref_s - st).max()) < 1e-4, cs
+
+
+def test_model_chunked_path_matches_scan_path():
+    """Long-sequence forward (chunked GDN) == forced-scan forward."""
+    params = qnext.init(jax.random.PRNGKey(0), TINY)
+    x = jax.random.randint(jax.random.PRNGKey(9), (1, 40), 0, 128)
+    cfg_chunked = dict(TINY, gdn_chunk_size=16)  # 40 >= 2*16 → chunked
+    cfg_scan = dict(TINY, gdn_chunk_size=1024)  # forces scan
+    lc, _, _ = qnext.apply(params, cfg_chunked, x)
+    ls, _, _ = qnext.apply(params, cfg_scan, x)
+    assert float(jnp.abs(lc - ls).max()) < 1e-3
