@@ -67,3 +67,16 @@ def test_small_sequence_blocks():
     ref = sdpa(q, k, v, mask=causal_mask(17))
     out = flash_attention(q, k, v, causal=True, interpret=INTERPRET)
     assert float(jnp.abs(ref - out).max()) < 2e-5
+
+
+def test_fused_mha_short_seq():
+    """Fused short-sequence MHA kernel vs sdpa oracle."""
+    from llm_quest_tpu.kernels.fused_mha import fused_mha
+
+    b, h, s, d = 2, 4, 197, 64
+    q = jax.random.normal(jax.random.PRNGKey(0), (b, h, s, d))
+    k = jax.random.normal(jax.random.PRNGKey(1), (b, h, s, d))
+    v = jax.random.normal(jax.random.PRNGKey(2), (b, h, s, d))
+    assert float(jnp.abs(sdpa(q, k, v) - fused_mha(q, k, v, interpret=INTERPRET)).max()) < 2e-5
+    ref_c = sdpa(q, k, v, mask=causal_mask(s))
+    assert float(jnp.abs(ref_c - fused_mha(q, k, v, causal=True, interpret=INTERPRET)).max()) < 2e-5
