@@ -33,6 +33,19 @@ from jax import lax
 
 from llm_quest_tpu.ops.sampling import sampling
 
+# whole-generation jit cache: one compiled program per (model, cfg, shapes,
+# sampler flags). Without this the prefill + python glue dispatch op-by-op
+# (catastrophic over remote-device transports: 300 ms/step vs ~10 ms jitted).
+_JIT_CACHE = {}
+
+
+def _freeze(obj):
+    if isinstance(obj, dict):
+        return tuple(sorted((k, _freeze(v)) for k, v in obj.items()))
+    if isinstance(obj, (list, tuple)):
+        return tuple(_freeze(v) for v in obj)
+    return obj
+
 
 def _is_eos(tokens, eos_ids_arr):
     return jnp.any(tokens[..., None] == eos_ids_arr, axis=-1)
@@ -66,6 +79,9 @@ def generate_batched_kv_cache(
 ):
     """Batched KV-cache generation (right- or left-padded prompts).
 
+    The ENTIRE generation (prefill + decode scan) compiles to one program,
+    cached per (model, cfg, shapes, sampler flags) — see _JIT_CACHE.
+
     Args:
         model: model module exposing ``apply`` and ``init_cache``.
         params: model params pytree.
@@ -83,6 +99,27 @@ def generate_batched_kv_cache(
           "mask": (b, prompt_len + max_gen) bool validity mask (EOS and pad
               excluded, matching the reference's growing attention mask).
     """
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    eos_key = tuple(_normalize_eos(eos_ids, pad_id))
+    key = (
+        id(model), _freeze(cfg), input_ids.shape, max_gen, top_k, top_p, min_p, temp,
+        eos_key, pad_id, left_pad, str(cache_dtype),
+    )
+    if key not in _JIT_CACHE:
+        fn = partial(
+            _generate_batched_impl, model, cfg,
+            max_gen=max_gen, top_k=top_k, top_p=top_p, min_p=min_p, temp=temp,
+            eos_ids=eos_ids, pad_id=pad_id, left_pad=left_pad, cache_dtype=cache_dtype,
+        )
+        _JIT_CACHE[key] = jax.jit(fn)
+    return _JIT_CACHE[key](params, input_ids, attention_mask.astype(bool), rng)
+
+
+def _generate_batched_impl(
+    model, cfg, params, input_ids, attention_mask, rng, *,
+    max_gen, top_k, top_p, min_p, temp, eos_ids, pad_id, left_pad, cache_dtype,
+):
     b, prompt_len = input_ids.shape
     max_total = prompt_len + max_gen
     eos_arr = jnp.asarray(_normalize_eos(eos_ids, pad_id), dtype=jnp.int32)

@@ -440,6 +440,8 @@ def apply_text(
     if position_ids is None:
         seq = (pos0 + jnp.arange(s))[None, :] * jnp.ones((b, 1), jnp.int32)
         position_ids = jnp.broadcast_to(seq[None], (3, b, s))
+    elif position_ids.ndim == 2:  # (b, s) 1-D ids (generic decode engine) → T=H=W
+        position_ids = jnp.broadcast_to(position_ids[None], (3, b, s))
 
     k_len = cache["k"].shape[3] if cache is not None else s
     mask = causal_mask(s, k_len, q_start=pos0, attn_mask=attn_mask)

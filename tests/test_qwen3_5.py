@@ -177,3 +177,22 @@ def test_vlm_generate_multimodal():
         logits, _, _ = q35.apply_text(params["text"], TINY, inputs_embs=embs, position_ids=jnp.asarray(pos))
         gen.append(int(jnp.argmax(logits[0, -1])))
     assert out["sequences"][0, 7:].tolist() == gen
+
+
+def test_generic_decode_engine_drives_text_model():
+    """The batched decode engine (2-D position ids) must drive the MRoPE
+    text model — regression for the (b, s) → (3, b, s) broadcast."""
+    from llm_quest_tpu.inference import generate as gen
+
+    class TextModel:
+        apply = staticmethod(q35.apply_text)
+        init_cache = staticmethod(q35.init_cache)
+
+    params = q35.init_text(jax.random.PRNGKey(0), TINY)
+    prompt = jax.random.randint(jax.random.PRNGKey(1), (2, 5), 0, 199)
+    mask = jnp.ones((2, 5), bool)
+    out = gen.generate_batched_kv_cache(
+        TextModel, params, TINY, prompt, mask, max_gen=4, temp=0.0, eos_ids=-1, pad_id=0
+    )
+    assert out["sequences"].shape == (2, 9)
+    assert jnp.all(out["sequences"] >= 0)
