@@ -78,3 +78,17 @@ def apply_qk_clip(params, max_logits_per_layer, clip_threshold, *, num_heads, nu
         att = {**att, "wq": {**att["wq"], "w": wq}, "wk": {**att["wk"], "w": wk}}
         new_blocks.append({**block, "att": att})
     return {**params, "blocks": new_blocks}
+
+
+def magnitude_qk_clip(wq, wk, max_logits_per_head, clip_threshold, *, num_heads, alpha=0.5):
+    """Magnitude variant (reference: :209-272): clips on |max logit| (handles
+    negative logit blow-ups too); MHA-only (equal q/k head counts).
+
+    wq/wk: (d_in, num_heads·head_dim). max_logits_per_head: (num_heads,)
+    SIGNED per-head extreme logits (use amax of |scores| upstream).
+    """
+    gamma = jnp.minimum(clip_threshold / jnp.abs(max_logits_per_head), 1.0)
+    head_dim = wq.shape[1] // num_heads
+    q_scale = jnp.repeat(gamma**alpha, head_dim)
+    k_scale = jnp.repeat(gamma ** (1 - alpha), head_dim)
+    return wq * q_scale[None, :], wk * k_scale[None, :]

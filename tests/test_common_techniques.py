@@ -235,3 +235,13 @@ def test_gpt2_with_lora_end_to_end():
     # only attention linears wrapped
     assert "lora" in wrapped["blocks"][0]["att"]["wq"]
     assert "lora" not in wrapped["blocks"][0]["ffn"]["fc"]
+
+
+def test_magnitude_qk_clip():
+    wq = jnp.ones((8, 8))  # 2 heads x head_dim 4
+    wk = jnp.ones((8, 8))
+    ml = jnp.asarray([-4.0, 1.0])  # head 0 blows up NEGATIVELY
+    nq, nk = qk_clip.magnitude_qk_clip(wq, wk, ml, 1.0, num_heads=2)
+    # head 0 scaled by sqrt(1/4)=0.5 on both; head 1 untouched
+    assert jnp.allclose(nq[:, :4], 0.5) and jnp.allclose(nk[:, :4], 0.5)
+    assert jnp.allclose(nq[:, 4:], 1.0) and jnp.allclose(nk[:, 4:], 1.0)
