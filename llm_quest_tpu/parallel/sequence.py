@@ -48,3 +48,68 @@ def sequence_parallel_attention(mesh, axis, q, k, v, *, causal=True):
         return sdpa(q_loc, k_full, v_full, mask=mask)
 
     return run(q, k, v)
+
+
+def ring_attention(mesh, axis, q, k, v, *, causal=True, scale=None):
+    """Ring attention: KV chunks stream around the ring via ppermute while
+    each device accumulates flash-style online softmax statistics for its
+    local query shard — activation AND KV memory scale 1/n_dev (the
+    all-gather form above replicates KV). SURVEY §5.7's "genuinely new axis".
+
+    q/k/v: (b, h, s, d) global arrays sharded along s over ``axis``.
+    Returns (b, h, s, d) sequence-sharded output.
+    """
+    n_dev = mesh.shape[axis]
+    s = q.shape[2]
+    d = q.shape[3]
+    assert s % n_dev == 0
+    s_loc = s // n_dev
+    if scale is None:
+        scale = d**-0.5
+    neg = -0.5 * jnp.finfo(jnp.float32).max
+    perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(None, None, axis, None),) * 3,
+        out_specs=P(None, None, axis, None),
+        check_rep=False,
+    )
+    def run(q_loc, k_loc, v_loc):
+        idx = lax.axis_index(axis)
+        q32 = q_loc.astype(jnp.float32) * scale
+        b, h = q32.shape[:2]
+        q_pos = idx * s_loc + jnp.arange(s_loc)
+
+        m = jnp.full((b, h, s_loc, 1), -jnp.inf, jnp.float32)
+        l = jnp.zeros((b, h, s_loc, 1), jnp.float32)
+        acc = jnp.zeros((b, h, s_loc, q32.shape[-1]), jnp.float32)
+
+        def step(carry, t):
+            m, l, acc, k_blk, v_blk = carry
+            src = (idx - t) % n_dev  # which device's chunk we hold this step
+            k_pos = src * s_loc + jnp.arange(s_loc)
+
+            scores = jnp.einsum(
+                "bhqd,bhkd->bhqk", q32, k_blk.astype(jnp.float32), preferred_element_type=jnp.float32
+            )
+            if causal:
+                scores = jnp.where(k_pos[None, None, None, :] > q_pos[None, None, :, None], neg, scores)
+
+            m_new = jnp.maximum(m, jnp.max(scores, axis=-1, keepdims=True))
+            p = jnp.exp(scores - m_new)
+            alpha_corr = jnp.exp(m - m_new)
+            l = l * alpha_corr + jnp.sum(p, axis=-1, keepdims=True)
+            acc = acc * alpha_corr + jnp.einsum(
+                "bhqk,bhkd->bhqd", p, v_blk.astype(jnp.float32), preferred_element_type=jnp.float32
+            )
+
+            k_blk = lax.ppermute(k_blk, axis, perm)
+            v_blk = lax.ppermute(v_blk, axis, perm)
+            return (m_new, l, acc, k_blk, v_blk), None
+
+        (m, l, acc, _, _), _ = lax.scan(step, (m, l, acc, k_loc, v_loc), jnp.arange(n_dev))
+        return (acc / jnp.maximum(l, 1e-30)).astype(q_loc.dtype)
+
+    return run(q, k, v)

@@ -120,3 +120,22 @@ def test_sequence_parallel_attention_matches_single_device(mesh8):
     ref_b = sdpa(q, k, v)
     got_b = sequence_parallel_attention(mesh8, "data", q, k, v, causal=False)
     assert jnp.allclose(ref_b, got_b, atol=1e-5)
+
+
+def test_ring_attention_matches_single_device(mesh8):
+    from llm_quest_tpu.ops.attention import sdpa
+    from llm_quest_tpu.ops.masks import causal_mask
+    from llm_quest_tpu.parallel.sequence import ring_attention
+
+    b, h, s, d = 2, 4, 64, 16
+    q = jax.random.normal(jax.random.PRNGKey(0), (b, h, s, d))
+    k = jax.random.normal(jax.random.PRNGKey(1), (b, h, s, d))
+    v = jax.random.normal(jax.random.PRNGKey(2), (b, h, s, d))
+
+    ref = sdpa(q, k, v, mask=causal_mask(s))
+    got = ring_attention(mesh8, "data", q, k, v, causal=True)
+    assert jnp.allclose(ref, got, atol=1e-5), float(jnp.abs(ref - got).max())
+
+    ref_b = sdpa(q, k, v)
+    got_b = ring_attention(mesh8, "data", q, k, v, causal=False)
+    assert jnp.allclose(ref_b, got_b, atol=1e-5)
