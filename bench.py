@@ -50,7 +50,17 @@ def bench_qwen35_decode(batch=1, prompt_len=32, max_gen=64):
 
 
 if __name__ == "__main__":
-    tok_s = bench_qwen35_decode()
+    # the tunneled TPU backend intermittently raises FailedPrecondition on
+    # host transfers — retry a couple of times before giving up
+    tok_s = None
+    for attempt in range(3):
+        try:
+            tok_s = bench_qwen35_decode()
+            break
+        except Exception:
+            if attempt == 2:
+                raise
+            time.sleep(10)
     print(
         json.dumps(
             {

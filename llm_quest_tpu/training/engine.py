@@ -78,12 +78,17 @@ def make_optimizer(
     b2=0.999,
     grad_clip_norm=1.0,
     accumulation_steps=1,
+    mu_dtype=jnp.float32,
 ):
-    """AdamW + global-norm clipping (+ optional MultiSteps grad accumulation)."""
+    """AdamW + global-norm clipping (+ optional MultiSteps grad accumulation).
+
+    mu_dtype defaults to fp32 so Adam's first moment stays full precision
+    under bf16 params — the engine's counterpart of the reference's bf16
+    autocast-with-fp32-master setup (engine.py:431)."""
     chain = []
     if grad_clip_norm is not None:
         chain.append(optax.clip_by_global_norm(grad_clip_norm))
-    chain.append(optax.adamw(lr_or_schedule, b1=b1, b2=b2, weight_decay=weight_decay))
+    chain.append(optax.adamw(lr_or_schedule, b1=b1, b2=b2, weight_decay=weight_decay, mu_dtype=mu_dtype))
     tx = optax.chain(*chain)
     if accumulation_steps > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=accumulation_steps)
