@@ -115,6 +115,7 @@ def apply(
     position_ids=None,
     gate_probas=None,
     training=False,
+    output_hidden_states=False,
     **_,
 ):
     """Forward. x: (b, s) ids. Returns (logits, cache, aux).
@@ -181,8 +182,17 @@ def apply(
     if cache is not None:
         cache = kvc.advance(cache, s)
 
+    if output_hidden_states:
+        return h, cache, aux
     if cfg["tie_embeddings"]:
         logits = h @ params["tok_emb"]["w"].T
     else:
         logits = linear(params["out"], h)
     return logits, cache, aux
+
+
+def head_weights(params, cfg):
+    """(d, vocab) output-head matrix — for the fused-CE training path."""
+    if cfg["tie_embeddings"]:
+        return params["tok_emb"]["w"].T
+    return params["out"]["w"]

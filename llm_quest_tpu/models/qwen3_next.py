@@ -309,6 +309,7 @@ def apply(
     cache=None,
     position_ids=None,
     training=False,
+    output_hidden_states=False,
     **_,
 ):
     """Forward. Returns (logits, cache, aux) — aux has moe_loss / gate_probas."""
@@ -395,5 +396,12 @@ def apply(
     if cache is not None:
         cache = {**cache, "pos": cache["pos"] + s}
 
+    if output_hidden_states:
+        return h, cache, aux
     logits = linear(params["out"], h)
     return logits, cache, aux
+
+
+def head_weights(params, cfg):
+    """(d, vocab) output-head matrix — for the fused-CE training path."""
+    return params["out"]["w"]

@@ -109,11 +109,35 @@ def global_loss(logits, targets, aux=None, *, classification=False):
     return loss
 
 
-def make_train_step(model, cfg, optimizer, *, classification=False, has_dropout=False):
+def make_train_step(model, cfg, optimizer, *, classification=False, has_dropout=False, fused_head_ce=False):
     """Build one fused, jitted train step:
-    (params, opt_state, batch, rng) → (params, opt_state, loss)."""
+    (params, opt_state, batch, rng) → (params, opt_state, loss).
+
+    fused_head_ce: compute CE fused with the LM head over sequence chunks
+    (ops/losses.py::cross_entropy_fused_head) — the full (tokens, vocab)
+    logit tensor never materializes. Essential for 150k+ vocabs: fixes the
+    measured 9.3 GB OOM training Qwen3-Next at s=2048 on one v5e chip.
+    Requires the model to support output_hidden_states and expose
+    head_weights(params, cfg)."""
 
     def loss_fn(params, batch, rng):
+        if fused_head_ce:
+            from llm_quest_tpu.ops.losses import cross_entropy_fused_head
+
+            hidden, _, aux = model.apply(
+                params,
+                cfg,
+                batch["input_ids"],
+                attn_mask=batch.get("attn_mask"),
+                deterministic=not has_dropout,
+                rng=rng if has_dropout else None,
+                training=True,
+                output_hidden_states=True,
+            )
+            loss = cross_entropy_fused_head(hidden, model.head_weights(params, cfg), batch["targets"])
+            if aux and "moe_loss" in aux:
+                loss = loss + aux["moe_loss"]
+            return loss
         logits, _, aux = model.apply(
             params,
             cfg,

@@ -100,3 +100,57 @@ class TestTrainingLoop:
             eval_freq=1000, eval_iter=1, log=lambda m: None,
         )
         assert np.isfinite(tr[0])
+
+
+class TestFusedHeadCE:
+    def test_matches_plain_cross_entropy(self):
+        import jax
+        import jax.numpy as jnp
+
+        from llm_quest_tpu.ops.losses import cross_entropy, cross_entropy_fused_head
+
+        key = jax.random.PRNGKey(0)
+        b, s, d, v = 2, 37, 16, 97  # non-multiple of chunk
+        hidden = jax.random.normal(key, (b, s, d))
+        head_w = jax.random.normal(jax.random.PRNGKey(1), (d, v))
+        targets = jax.random.randint(jax.random.PRNGKey(2), (b, s), 0, v)
+        targets = targets.at[0, :5].set(-100)  # ignored slots
+
+        ref = cross_entropy((hidden @ head_w).reshape(-1, v), targets.reshape(-1))
+        got = cross_entropy_fused_head(hidden, head_w, targets, chunk_size=16)
+        assert abs(float(ref) - float(got)) < 1e-5
+
+        # gradients match too (rematerialized backward)
+        g_ref = jax.grad(lambda h: cross_entropy((h @ head_w).reshape(-1, v), targets.reshape(-1)))(hidden)
+        g_got = jax.grad(lambda h: cross_entropy_fused_head(h, head_w, targets, chunk_size=16))(hidden)
+        assert float(jnp.abs(g_ref - g_got).max()) < 1e-5
+
+
+def test_fused_head_ce_train_step_matches_plain():
+    """fused_head_ce train step == plain step (same loss, same update)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from llm_quest_tpu.models import qwen3
+    from llm_quest_tpu.training.engine import make_optimizer, make_train_step
+
+    cfg = {
+        "model_type": "dense", "vocab_size": 128, "context_length": 64, "emb_dim": 32,
+        "n_layers": 2, "n_heads": 4, "num_kv_groups": 2, "head_dim": 8, "hidden_dim": 64,
+        "rope_base": 10_000, "tie_embeddings": True, "dtype": jnp.float32,
+    }
+    params = qwen3.init(jax.random.PRNGKey(0), cfg)
+    optimizer = make_optimizer(1e-3)
+    opt_state = optimizer.init(params)
+    x = jax.random.randint(jax.random.PRNGKey(1), (2, 16), 0, 128)
+    batch = {"input_ids": x, "targets": jnp.roll(x, -1, -1)}
+    rng = jax.random.PRNGKey(0)
+
+    plain = make_train_step(qwen3, cfg, optimizer)
+    fused = make_train_step(qwen3, cfg, optimizer, fused_head_ce=True)
+    p1, _, l1 = plain(params, opt_state, batch, rng)
+    p2, _, l2 = fused(params, opt_state, batch, rng)
+    assert abs(float(l1) - float(l2)) < 1e-5
+    diffs = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()), p1, p2)
+    assert max(jax.tree.leaves(diffs)) < 1e-4  # Adam amplifies fp32 summation-order noise
