@@ -124,7 +124,9 @@ def make_sharded_train_step(model, cfg, optimizer, mesh, rules, *, loss_fn=None)
         opt_state = jax.tree_util.tree_map(place, opt_state)
         return params, opt_state
 
-    @jax.jit
+    from functools import partial
+
+    @partial(jax.jit, donate_argnums=(0, 1))
     def train_step(params, opt_state, batch):
         import optax
 

@@ -150,7 +150,10 @@ def make_train_step(model, cfg, optimizer, *, classification=False, has_dropout=
         )
         return global_loss(logits, batch["targets"], aux, classification=classification)
 
-    @jax.jit
+    # donate params + opt_state: the update happens in-place on device —
+    # without donation both old and new copies live (2x params + 2x Adam
+    # moments ≈ the difference between fitting and OOM at ~1B params/chip)
+    @partial(jax.jit, donate_argnums=(0, 1))
     def train_step(params, opt_state, batch, rng):
         loss, grads = jax.value_and_grad(loss_fn)(params, batch, rng)
         updates, opt_state = optimizer.update(grads, opt_state, params)

@@ -149,8 +149,10 @@ def test_fused_head_ce_train_step_matches_plain():
 
     plain = make_train_step(qwen3, cfg, optimizer)
     fused = make_train_step(qwen3, cfg, optimizer, fused_head_ce=True)
-    p1, _, l1 = plain(params, opt_state, batch, rng)
-    p2, _, l2 = fused(params, opt_state, batch, rng)
+    # train steps DONATE (params, opt_state) — pass fresh copies to each
+    copy = lambda t: jax.tree.map(lambda x: x + 0, t)
+    p1, _, l1 = plain(copy(params), copy(opt_state), batch, rng)
+    p2, _, l2 = fused(copy(params), copy(opt_state), batch, rng)
     assert abs(float(l1) - float(l2)) < 1e-5
     diffs = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()), p1, p2)
     assert max(jax.tree.leaves(diffs)) < 1e-4  # Adam amplifies fp32 summation-order noise
