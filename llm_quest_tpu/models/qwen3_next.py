@@ -330,8 +330,33 @@ def apply(
     moe_loss = 0.0
     ga_i = gdn_i = 0
     decode_step = cache is not None and s == 1
+    use_ckpt = cfg.get("gradient_checkpointing", False) and training and cache is None
 
     for i, block in enumerate(params["blocks"]):
+        if use_ckpt:
+            # rematerialize the whole block in backward (activations of the
+            # MoE/GDN inner matmuls dominate training memory)
+            def block_fn(block, h, i=i):
+                residual = h
+                hn = zero_centered_rms_norm(block["norm1"], h)
+                if is_gdn_layer(cfg, i):
+                    att_out, _ = gated_delta_net(block["att"], cfg, hn, mask_cur, None)
+                else:
+                    att_out = gated_attention(block["att"], cfg, hn, mask, cos, sin, position_ids, None)
+                h = residual + att_out
+                residual = h
+                hn = zero_centered_rms_norm(block["norm2"], h)
+                ffn_out, moe_aux = moe_ops.qwen3_moe(
+                    block["moe"], hn, top_k=cfg["top_k"], load_coeff=cfg["aux_loss_coef"], training=training
+                )
+                return residual + ffn_out, moe_aux
+
+            h, moe_aux = jax.checkpoint(block_fn)(block, h)
+            aux["gate_probas"].append(moe_aux["gate_probas"])
+            if "moe_loss" in moe_aux:
+                moe_loss = moe_loss + moe_aux["moe_loss"]
+            continue
+
         residual = h
         hn = zero_centered_rms_norm(block["norm1"], h)
 
