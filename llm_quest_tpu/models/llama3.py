@@ -84,7 +84,7 @@ def init_cache(cfg, batch, max_len, *, dtype=None):
     )
 
 
-def _attention(params, cfg, x, mask, cos, sin, cache, layer_idx, position_ids):
+def _attention(params, cfg, x, mask, cos, sin, cache, layer_idx, position_ids, *, collect_max_logits=False):
     q = split_heads(linear(params["wq"], x), cfg["n_heads"])
     k = split_heads(linear(params["wk"], x), cfg["num_kv_groups"])
     v = split_heads(linear(params["wv"], x), cfg["num_kv_groups"])
@@ -95,12 +95,29 @@ def _attention(params, cfg, x, mask, cos, sin, cache, layer_idx, position_ids):
     if cache is not None:
         cache, k, v = kvc.update_layer(cache, layer_idx, k, v)
 
+    max_logits = None
+    if collect_max_logits:
+        # per-head max attention logit for QK-clip (reference hooks its
+        # attention classes, common/qk_clip.py:274-279); no QK-norm here so
+        # rescaling W_q/W_k actually caps the logits (unlike Qwen3, whose
+        # QK-RMSNorm makes the clip a no-op — the reference's QKClip GQA
+        # case is exactly this Llama-style attention)
+        hd = head_dim(cfg)
+        group = cfg["n_heads"] // cfg["num_kv_groups"]
+        q_g = q.reshape(q.shape[0], cfg["num_kv_groups"], group, q.shape[2], hd)
+        scores = jnp.einsum("bkgqd,bkld->bkgql", q_g, k) * hd**-0.5
+        max_logits = jax.lax.stop_gradient(
+            jnp.max(scores.reshape(q.shape[0], cfg["n_heads"], *scores.shape[-2:]), axis=(0, 2, 3))
+        )
+
     out = merge_heads(sdpa(q, k, v, mask=mask))
-    return linear(params["out_proj"], out), cache
+    return linear(params["out_proj"], out), cache, max_logits
 
 
-def apply(params, cfg, x, *, attn_mask=None, cache=None, position_ids=None, rope_cos_sin=None, **_):
-    """Forward. x: (b, s) ids. Returns (logits, cache, aux)."""
+def apply(params, cfg, x, *, attn_mask=None, cache=None, position_ids=None, rope_cos_sin=None,
+          collect_max_logits=False, **_):
+    """Forward. x: (b, s) ids. Returns (logits, cache, aux); aux carries
+    "max_attn_logits" (per-layer, per-head) when collect_max_logits."""
     b, s = x.shape
     cos, sin = rope_cos_sin if rope_cos_sin is not None else rope_tables(cfg)
 
@@ -113,10 +130,16 @@ def apply(params, cfg, x, *, attn_mask=None, cache=None, position_ids=None, rope
 
     h = embedding(params["tok_emb"], x)
 
+    aux = {}
     for i, block in enumerate(params["blocks"]):
         residual = h
         hn = rms_norm(block["pre_att_norm"], h)
-        att_out, cache = _attention(block["att"], cfg, hn, mask, cos, sin, cache, i, position_ids)
+        att_out, cache, max_logits = _attention(
+            block["att"], cfg, hn, mask, cos, sin, cache, i, position_ids,
+            collect_max_logits=collect_max_logits,
+        )
+        if collect_max_logits:
+            aux.setdefault("max_attn_logits", []).append(max_logits)
         h = residual + att_out
 
         residual = h
@@ -127,4 +150,4 @@ def apply(params, cfg, x, *, attn_mask=None, cache=None, position_ids=None, rope
         cache = kvc.advance(cache, s)
 
     logits = h @ params["tok_emb"]["w"].T  # tied output head
-    return logits, cache, {}
+    return logits, cache, aux

@@ -245,3 +245,32 @@ def test_magnitude_qk_clip():
     # head 0 scaled by sqrt(1/4)=0.5 on both; head 1 untouched
     assert jnp.allclose(nq[:, :4], 0.5) and jnp.allclose(nk[:, :4], 0.5)
     assert jnp.allclose(nq[:, 4:], 1.0) and jnp.allclose(nk[:, 4:], 1.0)
+
+
+def test_qk_clip_end_to_end_on_llama3():
+    """Collect per-head max logits from a forward, apply QK-clip, verify the
+    next forward's max logits are capped — the full reference workflow.
+    (Llama-style GQA, no QK-norm: QK-RMSNorm models like Qwen3 make the clip
+    a no-op because RMSNorm is scale-invariant.)"""
+    import jax.numpy as jnp
+
+    from llm_quest_tpu.models import llama3
+
+    cfg = {
+        "vocab_size": 64, "context_length": 32, "emb_dim": 32, "n_layers": 2, "n_heads": 4,
+        "num_kv_groups": 2, "hidden_dim": 64, "rope_base": 10_000, "dtype": jnp.float32,
+    }
+    params = llama3.init(jax.random.PRNGKey(0), cfg)
+    for blk in params["blocks"]:
+        blk["att"]["wq"]["w"] = blk["att"]["wq"]["w"] * 20.0  # force huge logits
+
+    x = jax.random.randint(jax.random.PRNGKey(1), (2, 8), 0, 64)
+    _, _, aux = llama3.apply(params, cfg, x, collect_max_logits=True)
+    ml = aux["max_attn_logits"]
+    assert len(ml) == 2 and ml[0].shape == (4,)
+    tau = float(max(jnp.max(m) for m in ml)) / 2
+
+    clipped = qk_clip.apply_qk_clip(params, ml, tau, num_heads=4, num_kv_heads=2)
+    _, _, aux2 = llama3.apply(clipped, cfg, x, collect_max_logits=True)
+    for m in aux2["max_attn_logits"]:
+        assert float(jnp.max(m)) <= tau * 1.01

@@ -91,7 +91,7 @@ def test_llama_train_step_reduces_loss():
     batch = {"input_ids": x, "targets": jnp.roll(x, -1, axis=-1)}
     rng = jax.random.PRNGKey(0)
 
-    _, _, loss0 = step(params, opt_state, batch, rng)
+    params, opt_state, loss0 = step(params, opt_state, batch, rng)  # donated: thread state through
     for _ in range(5):
         params, opt_state, loss = step(params, opt_state, batch, rng)
     assert float(loss) < float(loss0)
