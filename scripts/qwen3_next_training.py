@@ -42,7 +42,8 @@ def load_data(cfg):
 
 
 if __name__ == "__main__":
-    cfg = dict(config.QWEN3_NEXT_SMALL_CONFIG, dtype=jnp.float32, context_length=MAX_LENGTH)
+    cfg = dict(config.QWEN3_NEXT_SMALL_CONFIG, dtype=jnp.float32, context_length=MAX_LENGTH,
+               gradient_checkpointing=True)  # + fused-head CE via the engine for big-vocab runs
     inputs, targets = load_data(cfg)
     split = max(int(0.9 * len(inputs)), 1)
     train_loader = data_loader((inputs[:split], targets[:split]), BATCH_SIZE, shuffle=True)

@@ -112,3 +112,59 @@ def test_cached_decode_matches_uncached():
     cached = gen.generate_kv_cache(dsv3, params, TINY, prompt, max_gen=6, temp=0.0, eos_ids=-1, pad_id=0)
     uncached = gen.generate_loop_uncached(dsv3, params, TINY, prompt, max_gen=6, temp=0.0)
     assert cached["sequences"][0].tolist() == uncached[0].tolist()
+
+
+def test_deepseek_mtp_train_step():
+    """Full deepseek engine step: loss drops AND the MoE biases move
+    (non-gradient state folded after the optimizer step)."""
+    from llm_quest_tpu.training.engine import make_optimizer
+    from llm_quest_tpu.training.mtp_engine import make_deepseek_train_step
+
+    params = dsv3.init(jax.random.PRNGKey(0), TINY)
+    optimizer = make_optimizer(1e-3)
+    opt_state = optimizer.init(params)
+    step = make_deepseek_train_step(TINY, optimizer)
+
+    batch_raw = [[1, 2, 3, 4, 5, 6, 7, 8], [7, 8, 9, 10, 11, 12]]
+    coll = collate_function_mtp(batch_raw, mtp_depth=2, pad_token_id=0)
+    batch = {
+        "input_ids": jnp.asarray(coll["input_ids"]),
+        "targets": jnp.asarray(coll["targets"]),
+        "shifted_inputs": [jnp.asarray(a) for a in coll["shifted_inputs"]],
+        "shifted_targets": [jnp.asarray(a) for a in coll["shifted_targets"]],
+    }
+    rng = jax.random.PRNGKey(0)
+    biases0 = params["blocks"][2]["moe"]["biases"] + 0  # copy: params get donated
+
+    params, opt_state, loss0 = step(params, opt_state, batch, rng)
+    assert not jnp.allclose(params["blocks"][2]["moe"]["biases"], biases0)
+    for _ in range(4):
+        params, opt_state, loss = step(params, opt_state, batch, rng)
+    assert float(loss) < float(loss0)
+
+
+def test_mimo_mtp_train_step():
+    from llm_quest_tpu.models import mimo_v2_flash as mimo
+    from llm_quest_tpu.training.engine import make_optimizer
+    from llm_quest_tpu.training.mtp_engine import make_mimo_train_step
+
+    cfg = {
+        "vocab_size": 128, "context_length": 64, "emb_dim": 32, "n_layers": 3, "n_heads": 4,
+        "num_swa_kv_groups": 4, "num_ga_kv_groups": 2, "head_dim": 12, "value_head_dim": 8,
+        "hidden_dim": 64, "window_size": 4, "hybrid_ratio": 3, "rope_base": 10_000,
+        "rope_base_ga": 640_000, "partial_rope_factor": 0.33, "mtp_depth": 1,
+        "mtp_loss_coeff": 0.3, "num_experts": 4, "top_k": 2, "num_shared_experts": 0,
+        "moe_scaling_factor": 1, "moe_bias_update_rate": 1e-3, "dtype": jnp.float32,
+    }
+    params = mimo.init(jax.random.PRNGKey(0), cfg)
+    optimizer = make_optimizer(1e-3)
+    opt_state = optimizer.init(params)
+    step = make_mimo_train_step(cfg, optimizer)
+
+    x = jax.random.randint(jax.random.PRNGKey(1), (2, 12), 0, 128)
+    batch = {"input_ids": x, "targets": jnp.roll(x, -1, -1)}
+    rng = jax.random.PRNGKey(0)
+    params, opt_state, loss0 = step(params, opt_state, batch, rng)
+    for _ in range(4):
+        params, opt_state, loss = step(params, opt_state, batch, rng)
+    assert float(loss) < float(loss0)
