@@ -139,3 +139,33 @@ def test_ring_attention_matches_single_device(mesh8):
     ref_b = sdpa(q, k, v)
     got_b = ring_attention(mesh8, "data", q, k, v, causal=False)
     assert jnp.allclose(ref_b, got_b, atol=1e-5)
+
+
+def test_sharded_decode_matches_single_device(mesh8):
+    """TP+DP-sharded params through the whole-generation jit: identical
+    greedy tokens to the unsharded decode (the jit respects the argument
+    shardings — distributed serving needs no separate engine)."""
+    from llm_quest_tpu.inference import generate as gen
+    from llm_quest_tpu.models import qwen3
+    from llm_quest_tpu.parallel.sharding import shard_batch, sharding_rules_llama
+
+    cfg = {
+        "model_type": "dense", "vocab_size": 128, "context_length": 64, "emb_dim": 32,
+        "n_layers": 2, "n_heads": 4, "num_kv_groups": 2, "head_dim": 8, "hidden_dim": 64,
+        "rope_base": 10_000, "tie_embeddings": False, "dtype": jnp.float32,
+    }
+    params = qwen3.init(jax.random.PRNGKey(0), cfg)
+    prompt = jax.random.randint(jax.random.PRNGKey(1), (8, 6), 0, 128)
+    mask = jnp.ones((8, 6), bool)
+
+    ref = gen.generate_batched_kv_cache(
+        qwen3, params, cfg, prompt, mask, max_gen=6, temp=0.0, eos_ids=-1, pad_id=0
+    )
+
+    with mesh8:
+        sharded_params = shard_params(params, mesh8, sharding_rules_llama)
+        batch = shard_batch({"ids": prompt}, mesh8)
+        out = gen.generate_batched_kv_cache(
+            qwen3, sharded_params, cfg, batch["ids"], mask, max_gen=6, temp=0.0, eos_ids=-1, pad_id=0
+        )
+    assert ref["sequences"].tolist() == out["sequences"].tolist()
