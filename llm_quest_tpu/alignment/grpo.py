@@ -23,8 +23,6 @@ sampling reuses the scan-based batched decode engine; the phantom-reward
 toggle is an explicit argument instead of module-global config state.
 """
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

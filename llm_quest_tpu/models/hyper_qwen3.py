@@ -7,13 +7,11 @@ out = residual + H_post·y; streams are SUMMED (not averaged) before the
 final norm; separate HC bundles for the attention and FFN halves.
 """
 
-import jax
 import jax.numpy as jnp
 
-from llm_quest_tpu.config import model_dtype
 from llm_quest_tpu.models import qwen3
 from llm_quest_tpu.ops import hyper_connections as hc
-from llm_quest_tpu.ops.linear import embedding, init_linear, linear
+from llm_quest_tpu.ops.linear import embedding, linear
 from llm_quest_tpu.ops.masks import causal_mask
 from llm_quest_tpu.ops.mlp import swiglu
 from llm_quest_tpu.ops.norms import rms_norm_torch_parity

@@ -14,7 +14,6 @@ positions [i·s_loc, (i+1)·s_loc).
 
 from functools import partial
 
-import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.experimental.shard_map import shard_map

@@ -12,8 +12,6 @@ save_checkpoint accepts the full train state.
 
 import os
 
-import jax
-
 
 def _checkpointer():
     import orbax.checkpoint as ocp

@@ -1,7 +1,6 @@
 """DPO preference-tuning entry script (reference: alignment/dpo usage)."""
 
 import jax
-import numpy as np
 
 from llm_quest_tpu import config
 from llm_quest_tpu.alignment.dpo import dpo_training_loop

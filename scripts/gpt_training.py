@@ -6,7 +6,6 @@ so the script runs anywhere.
 """
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from llm_quest_tpu import config

@@ -4,7 +4,6 @@ instruct_training_lora.py): Alpaca-format SFT, optionally with a LoRA variant
 """
 
 import jax
-import numpy as np
 
 from llm_quest_tpu import config
 from llm_quest_tpu.data.datasets import collate_function, data_loader, instruction_dataset, load_instruction_data

@@ -10,7 +10,7 @@ import numpy as np
 from llm_quest_tpu import config
 from llm_quest_tpu.models import mimo_v2_flash as mimo
 from llm_quest_tpu.training.engine import make_optimizer
-from llm_quest_tpu.training.mtp_engine import make_mimo_train_step, mtp_evaluate
+from llm_quest_tpu.training.mtp_engine import make_mimo_train_step
 
 BATCH_SIZE = 2
 STEPS = 8

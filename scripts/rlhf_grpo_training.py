@@ -8,7 +8,7 @@ import optax
 
 from llm_quest_tpu import config
 from llm_quest_tpu.alignment import grpo
-from llm_quest_tpu.data.datasets import data_loader, pref_reward_collate, preference_dataset
+from llm_quest_tpu.data.datasets import data_loader, pref_reward_collate
 from llm_quest_tpu.models import gpt2
 from llm_quest_tpu.utils import CheckpointEvaluator
 

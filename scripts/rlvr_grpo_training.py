@@ -5,7 +5,6 @@ GSM8K JSONL + tiktoken when available; synthetic prompts fallback.
 """
 
 import jax
-import numpy as np
 
 from llm_quest_tpu import config
 from llm_quest_tpu.alignment.rlvr import VerifiableRewardCalculator, rlvr_grpo_training_loop, rlvr_prompt_collator

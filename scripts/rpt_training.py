@@ -5,7 +5,6 @@ restricted to entropy-filtered (hard) token positions.
 """
 
 import jax
-import numpy as np
 
 from llm_quest_tpu import config
 from llm_quest_tpu.alignment.rlvr import rlvr_grpo_training_loop, rlvr_prompt_collator
