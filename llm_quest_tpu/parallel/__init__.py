@@ -16,7 +16,9 @@ from llm_quest_tpu.parallel.mesh import create_mesh, local_mesh_shape
 from llm_quest_tpu.parallel.sharding import (
     batch_sharding,
     make_sharded_train_step,
+    opt_state_shardings,
     replicated,
+    shard_opt_state,
     shard_params,
     sharding_rules_gpt2,
     sharding_rules_llama,
@@ -26,6 +28,8 @@ __all__ = [
     "create_mesh",
     "local_mesh_shape",
     "shard_params",
+    "shard_opt_state",
+    "opt_state_shardings",
     "batch_sharding",
     "replicated",
     "sharding_rules_gpt2",

@@ -95,6 +95,42 @@ def shard_batch(batch, mesh):
     return {k: jax.device_put(v, batch_sharding(mesh, v.ndim)) for k, v in batch.items()}
 
 
+def opt_state_shardings(optimizer, sharded_params, mesh):
+    """NamedSharding pytree for an optax state: param-shaped moment subtrees
+    (mu/nu in Adam — same treedef as params) mirror the param shardings;
+    everything else (step counters, empty states) is replicated.
+
+    Without this, Adam on a TP-sharded 1B model replicates two full fp32
+    moment copies per chip — the dominant HBM cost of training.
+    """
+    ptd = jax.tree_util.tree_structure(sharded_params)
+    pshard = jax.tree_util.tree_map(lambda p: p.sharding, sharded_params)
+
+    def is_param_tree(x):
+        return jax.tree_util.tree_structure(x) == ptd
+
+    def assign(node):
+        if is_param_tree(node):
+            return pshard
+        return jax.tree_util.tree_map(lambda _: replicated(mesh), node)
+
+    state_shape = jax.eval_shape(optimizer.init, sharded_params)
+    return jax.tree_util.tree_map(assign, state_shape, is_leaf=is_param_tree)
+
+
+def shard_opt_state(optimizer, sharded_params, mesh, opt_state=None):
+    """Initialise (or re-place) optimizer state sharded like the params.
+
+    With ``opt_state=None`` a fresh state is built under jit with explicit
+    out_shardings. An existing state (e.g. restored from a checkpoint) is
+    placed leaf-by-leaf onto the same shardings instead.
+    """
+    shardings = opt_state_shardings(optimizer, sharded_params, mesh)
+    if opt_state is None:
+        return jax.jit(optimizer.init, out_shardings=shardings)(sharded_params)
+    return jax.tree_util.tree_map(jax.device_put, opt_state, shardings)
+
+
 def make_sharded_train_step(model, cfg, optimizer, mesh, rules, *, loss_fn=None):
     """Jitted DP+TP train step with explicit parameter shardings.
 
@@ -111,17 +147,11 @@ def make_sharded_train_step(model, cfg, optimizer, mesh, rules, *, loss_fn=None)
             logits, _, aux = model.apply(params, cfg, batch["input_ids"], attn_mask=batch.get("attn_mask"))
             return global_loss(logits, batch["targets"], aux)
 
-    specs = None
-
-    def shard_fn(params, opt_state):
-        nonlocal specs
-        specs = param_specs(params, rules)
+    def shard_fn(params, opt_state=None):
+        """Place (params, opt_state) on the mesh; moments mirror param
+        shardings (see shard_opt_state). opt_state=None initialises fresh."""
         params = shard_params(params, mesh, rules)
-        # optimizer state mirrors param shardings where shapes match; scalars replicated
-        def place(x):
-            return jax.device_put(x, replicated(mesh))
-
-        opt_state = jax.tree_util.tree_map(place, opt_state)
+        opt_state = shard_opt_state(optimizer, params, mesh, opt_state)
         return params, opt_state
 
     from functools import partial

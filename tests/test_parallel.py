@@ -55,6 +55,33 @@ def test_sharded_forward_matches_single_device(mesh8):
     assert jnp.allclose(ref_logits, out, atol=1e-4)
 
 
+def test_opt_state_mirrors_param_shardings(mesh8):
+    """Adam moments carry the SAME NamedShardings as their params on a TP
+    mesh (not replicated) — the HBM saving that makes 1B-scale training fit."""
+    import optax
+
+    from llm_quest_tpu.parallel import shard_opt_state
+
+    params = gpt2.init(jax.random.PRNGKey(0), TINY)
+    optimizer = optax.adamw(1e-3)
+    with mesh8:
+        sharded = shard_params(params, mesh8, sharding_rules_gpt2)
+        opt_state = shard_opt_state(optimizer, sharded, mesh8)
+
+    mu = opt_state[0].mu
+    pspec = lambda x: x.sharding.spec
+    assert pspec(mu["blocks"][0]["att"]["wq"]["w"]) == pspec(sharded["blocks"][0]["att"]["wq"]["w"])
+    assert pspec(mu["blocks"][0]["att"]["wq"]["w"]) == jax.sharding.PartitionSpec(None, "model")
+    assert pspec(mu["tok_emb"]["w"]) == jax.sharding.PartitionSpec("model", None)
+    # counters replicated
+    assert pspec(opt_state[0].count) == jax.sharding.PartitionSpec()
+
+    # re-placing an existing (host) state lands on the same shardings
+    host_state = jax.tree.map(lambda x: jnp.zeros(x.shape, x.dtype), opt_state)
+    replaced = shard_opt_state(optimizer, sharded, mesh8, host_state)
+    assert pspec(replaced[0].mu["tok_emb"]["w"]) == jax.sharding.PartitionSpec("model", None)
+
+
 def test_dryrun_multichip():
     import sys
 
