@@ -118,14 +118,19 @@ def init_expert_stack(key, num_experts, d_in, hidden, *, d_out=None, gated=True,
 
 
 def _expert_mlp_ragged(experts, x_sorted, group_sizes, expert_of_row, activation):
-    """Grouped expert MLP over expert-sorted rows via ragged_dot."""
+    """Grouped expert MLP over expert-sorted rows via ragged_dot.
+
+    Gated form activates the GATE branch — lin1(x) · act(gate(x)) — matching
+    the reference Expert (qwen3_moe.py:45-49: lin2(x1 * silu(x_gate)));
+    non-gated form is act(lin1(x)+b1) (classic_moe.py)."""
     h = jax.lax.ragged_dot(x_sorted, experts["lin1"], group_sizes)
     if "b1" in experts:
         h = h + experts["b1"][expert_of_row]
-    h = activation(h)
     if "gate" in experts:
         g = jax.lax.ragged_dot(x_sorted, experts["gate"], group_sizes)
-        h = h * g
+        h = h * activation(g)
+    else:
+        h = activation(h)
     out = jax.lax.ragged_dot(h, experts["lin2"], group_sizes)
     if "b2" in experts:
         out = out + experts["b2"][expert_of_row]
@@ -223,17 +228,26 @@ def init_deepseek_moe(key, cfg, *, dtype=jnp.float32):
         "biases": jnp.zeros((num_routed,), jnp.float32),  # non-gradient state
     }
     if num_shared > 0:
-        params["shared"] = init_expert_stack(ks, num_shared, d, hidden, gated=True, dtype=dtype)
+        # reference shared experts are NON-gated silu MLPs with biases
+        # (deepseek_moe.py VectorizedSharedExperts, bias=True)
+        params["shared"] = init_expert_stack(ks, num_shared, d, hidden, gated=False, bias=True, dtype=dtype)
     return params
 
 
 def _shared_experts_sum(shared, x2d, activation=silu):
-    """All shared experts on all tokens, summed (reference: deepseek_moe.py:91-129)."""
+    """All shared experts on all tokens, summed (reference: deepseek_moe.py:91-129,
+    VectorizedSharedExperts: lin2(act(lin1(x)+b1))+b2 batched over experts).
+    Gated form activates the gate branch (see _expert_mlp_ragged)."""
     h = jnp.einsum("td,edh->teh", x2d, shared["lin1"])
-    h = activation(h)
+    if "b1" in shared:
+        h = h + shared["b1"][None]
     if "gate" in shared:
-        h = h * jnp.einsum("td,edh->teh", x2d, shared["gate"])
+        h = h * activation(jnp.einsum("td,edh->teh", x2d, shared["gate"]))
+    else:
+        h = activation(h)
     out = jnp.einsum("teh,ehd->ted", h, shared["lin2"])
+    if "b2" in shared:
+        out = out + shared["b2"][None]
     return jnp.sum(out, axis=1)
 
 

@@ -51,7 +51,12 @@ def unflatten_into(params, flat_updates):
             return [walk(v, f"{prefix}{i}/") for i, v in enumerate(node)]
         path = prefix[:-1]
         if path in flat_updates:
-            return jnp.asarray(flat_updates[path], dtype=node.dtype)
+            # jnp.array (NOT asarray): on the CPU backend asarray can alias the
+            # source buffer zero-copy — if that buffer is a live torch-module
+            # view, later in-place updates (e.g. MoE bias balancing in eval
+            # forward, reference deepseek_moe.py:206-210) would silently mutate
+            # the "loaded" parameter.
+            return jnp.array(flat_updates[path], dtype=node.dtype)
         return node
 
     return walk(params, "")

@@ -23,9 +23,10 @@ def _dense_reference(experts, x2d, topk_idxs, topk_w, num_experts, activation):
     h = jnp.einsum("td,edh->teh", x2d, experts["lin1"])
     if "b1" in experts:
         h = h + experts["b1"][None]
-    h = activation(h)
     if "gate" in experts:
-        h = h * jnp.einsum("td,edh->teh", x2d, experts["gate"])
+        h = h * activation(jnp.einsum("td,edh->teh", x2d, experts["gate"]))
+    else:
+        h = activation(h)
     out_e = jnp.einsum("teh,ehd->ted", h, experts["lin2"])
     if "b2" in experts:
         out_e = out_e + experts["b2"][None]
