@@ -31,7 +31,7 @@ from llm_quest_tpu.config import model_dtype
 from llm_quest_tpu.inference import cache as kvc
 from llm_quest_tpu.ops import moe as moe_ops
 from llm_quest_tpu.ops import rope
-from llm_quest_tpu.ops.attention import merge_heads, sdpa, split_heads
+from llm_quest_tpu.ops.attention import attention, merge_heads, split_heads
 from llm_quest_tpu.ops.linear import embedding, init_embedding, init_linear, linear
 from llm_quest_tpu.ops.losses import cross_entropy
 from llm_quest_tpu.ops.masks import causal_mask
@@ -121,7 +121,7 @@ def init_cache(cfg, batch, max_len, *, dtype=None):
     )
 
 
-def _mla(params, cfg, x, mask, cos, sin, cache, layer_idx, position_ids):
+def _mla(params, cfg, x, mask, cos, sin, cache, layer_idx, position_ids, attn_mask=None):
     """Multi-Latent Attention (reference: deepseek_attention.py:57-110)."""
     n_heads = cfg["n_heads"]
     hd, dhd = head_dims(cfg)
@@ -146,15 +146,20 @@ def _mla(params, cfg, x, mask, cos, sin, cache, layer_idx, position_ids):
     if cache is not None:
         cache, k, v = kvc.update_layer(cache, layer_idx, k, v)
 
-    out = sdpa(q, k, v, mask=mask, scale=(hd + dhd) ** -0.5)
+    out = attention(
+        q, k, v, cfg=cfg, mask=mask, causal=True, scale=(hd + dhd) ** -0.5,
+        attn_mask=attn_mask, flash_ok=cache is None,
+    )
     out = merge_heads(out)
     return linear(params["out_proj"], out), cache
 
 
-def _block(block, cfg, h, mask, cos, sin, cache, layer_idx, position_ids):
+def _block(block, cfg, h, mask, cos, sin, cache, layer_idx, position_ids, attn_mask=None):
     residual = h
     hn = rms_norm(block["norm_1"], h)
-    att_out, cache = _mla(block["att"], cfg, hn, mask, cos, sin, cache, layer_idx, position_ids)
+    att_out, cache = _mla(
+        block["att"], cfg, hn, mask, cos, sin, cache, layer_idx, position_ids, attn_mask
+    )
     h = residual + att_out
 
     residual = h
@@ -184,7 +189,7 @@ def apply(params, cfg, x, *, attn_mask=None, cache=None, position_ids=None, **_)
     h = embedding(params["tok_emb"], x)
     counts, vios = [], []
     for i, block in enumerate(params["blocks"]):
-        h, cache, aux_i = _block(block, cfg, h, mask, cos, sin, cache, i, position_ids)
+        h, cache, aux_i = _block(block, cfg, h, mask, cos, sin, cache, i, position_ids, attn_mask)
         if "counts" in aux_i:
             counts.append(aux_i["counts"])
             vios.append(aux_i["max_vio"])

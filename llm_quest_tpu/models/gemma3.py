@@ -25,7 +25,7 @@ from llm_quest_tpu.config import model_dtype
 from llm_quest_tpu.inference import cache as kvc
 from llm_quest_tpu.ops import rope
 from llm_quest_tpu.ops.activations import gelu_erf
-from llm_quest_tpu.ops.attention import merge_heads, sdpa, split_heads
+from llm_quest_tpu.ops.attention import attention, merge_heads, split_heads
 from llm_quest_tpu.ops.linear import embedding, init_embedding, init_linear, linear
 from llm_quest_tpu.ops.masks import causal_mask
 from llm_quest_tpu.ops.norms import init_layer_norm, init_rms_norm, layer_norm, rms_norm
@@ -107,7 +107,7 @@ def init_cache(cfg, batch, max_len, *, dtype=None):
     )
 
 
-def _attention(params, cfg, x, mask, cos, sin, cache, layer_idx, position_ids):
+def _attention(params, cfg, x, mask, cos, sin, cache, layer_idx, position_ids, *, window_size=None, attn_mask=None):
     q = split_heads(linear(params["wq"], x), cfg["n_heads"])
     k = split_heads(linear(params["wk"], x), cfg["num_kv_groups"])
     v = split_heads(linear(params["wv"], x), cfg["num_kv_groups"])
@@ -120,7 +120,10 @@ def _attention(params, cfg, x, mask, cos, sin, cache, layer_idx, position_ids):
     if cache is not None:
         cache, k, v = kvc.update_layer(cache, layer_idx, k, v)
 
-    out = merge_heads(sdpa(q, k, v, mask=mask))
+    out = merge_heads(attention(
+        q, k, v, cfg=cfg, mask=mask, causal=True, window_size=window_size,
+        attn_mask=attn_mask, flash_ok=cache is None,
+    ))
     return linear(params["out_proj"], out), cache
 
 
@@ -144,7 +147,11 @@ def apply(params, cfg, x, *, attn_mask=None, cache=None, position_ids=None, rope
 
         residual = h
         hn = rms_norm(block["pre_att_norm"], h)
-        att_out, cache = _attention(block["att"], cfg, hn, mask, cos, sin, cache, i, position_ids)
+        att_out, cache = _attention(
+            block["att"], cfg, hn, mask, cos, sin, cache, i, position_ids,
+            window_size=cfg["window_size"] if is_swa_layer(cfg, i) else None,
+            attn_mask=attn_mask,
+        )
         h = residual + rms_norm(block["post_att_norm"], att_out)
 
         residual = h

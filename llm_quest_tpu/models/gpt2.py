@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 from llm_quest_tpu.config import model_dtype
 from llm_quest_tpu.inference import cache as kvc
-from llm_quest_tpu.ops.attention import merge_heads, sdpa, split_heads
+from llm_quest_tpu.ops.attention import attention, merge_heads, split_heads
 from llm_quest_tpu.ops.dropout import dropout
 from llm_quest_tpu.ops.linear import embedding, init_embedding, init_linear, linear
 from llm_quest_tpu.ops.masks import causal_mask
@@ -69,7 +69,7 @@ def init_cache(cfg, batch, max_len, *, dtype=None):
     )
 
 
-def _attention(params, cfg, x, mask, cache, layer_idx, rng, deterministic):
+def _attention(params, cfg, x, mask, cache, layer_idx, rng, deterministic, attn_mask=None):
     n_heads = cfg["n_heads"]
     q = split_heads(linear(params["wq"], x), n_heads)
     k = split_heads(linear(params["wk"], x), n_heads)
@@ -78,7 +78,10 @@ def _attention(params, cfg, x, mask, cache, layer_idx, rng, deterministic):
     if cache is not None:
         cache, k, v = kvc.update_layer(cache, layer_idx, k, v)
 
-    out = sdpa(q, k, v, mask=mask)
+    out = attention(
+        q, k, v, cfg=cfg, mask=mask, causal=True, attn_mask=attn_mask,
+        flash_ok=cache is None,
+    )
     out = merge_heads(out)
     out = linear(params["out_proj"], out)
     return out, cache
@@ -130,7 +133,9 @@ def apply(
 
         residual = h
         hn = layer_norm(block["ln_1"], h)
-        att_out, cache = _attention(block["att"], cfg, hn, mask, cache, i, r_att, deterministic)
+        att_out, cache = _attention(
+            block["att"], cfg, hn, mask, cache, i, r_att, deterministic, attn_mask
+        )
         h = residual + dropout(r_att, att_out, drop, deterministic)
 
         residual = h

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from llm_quest_tpu.config import model_dtype
 from llm_quest_tpu.inference import cache as kvc
 from llm_quest_tpu.ops import rope
-from llm_quest_tpu.ops.attention import merge_heads, sdpa, split_heads
+from llm_quest_tpu.ops.attention import attention, merge_heads, split_heads
 from llm_quest_tpu.ops.linear import embedding, init_embedding, init_linear, linear
 from llm_quest_tpu.ops.masks import causal_mask
 from llm_quest_tpu.ops.mlp import init_swiglu, swiglu
@@ -84,7 +84,7 @@ def init_cache(cfg, batch, max_len, *, dtype=None):
     )
 
 
-def _attention(params, cfg, x, mask, cos, sin, cache, layer_idx, position_ids, *, collect_max_logits=False):
+def _attention(params, cfg, x, mask, cos, sin, cache, layer_idx, position_ids, *, collect_max_logits=False, attn_mask=None):
     q = split_heads(linear(params["wq"], x), cfg["n_heads"])
     k = split_heads(linear(params["wk"], x), cfg["num_kv_groups"])
     v = split_heads(linear(params["wv"], x), cfg["num_kv_groups"])
@@ -110,7 +110,10 @@ def _attention(params, cfg, x, mask, cos, sin, cache, layer_idx, position_ids, *
             jnp.max(scores.reshape(q.shape[0], cfg["n_heads"], *scores.shape[-2:]), axis=(0, 2, 3))
         )
 
-    out = merge_heads(sdpa(q, k, v, mask=mask))
+    out = merge_heads(attention(
+        q, k, v, cfg=cfg, mask=mask, causal=True, attn_mask=attn_mask,
+        flash_ok=cache is None,
+    ))
     return linear(params["out_proj"], out), cache, max_logits
 
 
@@ -136,7 +139,7 @@ def apply(params, cfg, x, *, attn_mask=None, cache=None, position_ids=None, rope
         hn = rms_norm(block["pre_att_norm"], h)
         att_out, cache, max_logits = _attention(
             block["att"], cfg, hn, mask, cos, sin, cache, i, position_ids,
-            collect_max_logits=collect_max_logits,
+            collect_max_logits=collect_max_logits, attn_mask=attn_mask,
         )
         if collect_max_logits:
             aux.setdefault("max_attn_logits", []).append(max_logits)

@@ -27,7 +27,7 @@ from jax import lax
 from llm_quest_tpu.config import model_dtype
 from llm_quest_tpu.ops import moe as moe_ops
 from llm_quest_tpu.ops import rope
-from llm_quest_tpu.ops.attention import merge_heads, sdpa, split_heads
+from llm_quest_tpu.ops.attention import attention, merge_heads, split_heads
 from llm_quest_tpu.ops.linear import embedding, init_embedding, init_linear, linear
 from llm_quest_tpu.ops.losses import cross_entropy
 from llm_quest_tpu.ops.masks import causal_mask
@@ -132,7 +132,7 @@ def init_cache(cfg, batch, max_len, *, dtype=None):
     }
 
 
-def _attention(params, cfg, x, mask, cos, sin, cache, layer_idx, position_ids, *, swa):
+def _attention(params, cfg, x, mask, cos, sin, cache, layer_idx, position_ids, *, swa, attn_mask=None):
     groups = cfg["num_swa_kv_groups"] if swa else cfg["num_ga_kv_groups"]
     q = split_heads(linear(params["wq"], x), cfg["n_heads"])
     k = split_heads(linear(params["wk"], x), groups)
@@ -148,14 +148,21 @@ def _attention(params, cfg, x, mask, cos, sin, cache, layer_idx, position_ids, *
         cache = {**cache, "k": kc, "v": vc}
         k, v = kc[layer_idx, :, :groups], vc[layer_idx, :, :groups]
 
-    out = merge_heads(sdpa(q, k, v, mask=mask, sink=params.get("sink")))
+    out = merge_heads(attention(
+        q, k, v, cfg=cfg, mask=mask, sink=params.get("sink"), causal=True,
+        window_size=cfg["window_size"] if swa else None,
+        attn_mask=attn_mask, flash_ok=cache is None,
+    ))
     return linear(params["out_proj"], out), cache
 
 
-def _block(block, cfg, h, mask, cos, sin, cache, layer_idx, position_ids, *, swa):
+def _block(block, cfg, h, mask, cos, sin, cache, layer_idx, position_ids, *, swa, attn_mask=None):
     residual = h
     hn = rms_norm_torch_parity(block["norm1"], h)
-    att_out, cache = _attention(block["att"], cfg, hn, mask, cos, sin, cache, layer_idx, position_ids, swa=swa)
+    att_out, cache = _attention(
+        block["att"], cfg, hn, mask, cos, sin, cache, layer_idx, position_ids,
+        swa=swa, attn_mask=attn_mask,
+    )
     h = residual + att_out
 
     residual = h
@@ -187,7 +194,9 @@ def apply(params, cfg, x, *, attn_mask=None, cache=None, position_ids=None, **_)
     for i, block in enumerate(params["blocks"]):
         swa = is_swa_layer(cfg, i)
         mask, cos, sin = (mask_swa, cos_swa, sin_swa) if swa else (mask_ga, cos_ga, sin_ga)
-        h, cache, aux_i = _block(block, cfg, h, mask, cos, sin, cache, i, position_ids, swa=swa)
+        h, cache, aux_i = _block(
+            block, cfg, h, mask, cos, sin, cache, i, position_ids, swa=swa, attn_mask=attn_mask
+        )
         if "counts" in aux_i:
             counts.append(aux_i["counts"])
 

@@ -22,7 +22,7 @@ from llm_quest_tpu.config import model_dtype
 from llm_quest_tpu.inference import cache as kvc
 from llm_quest_tpu.ops import moe as moe_ops
 from llm_quest_tpu.ops import rope
-from llm_quest_tpu.ops.attention import merge_heads, sdpa, split_heads
+from llm_quest_tpu.ops.attention import attention, merge_heads, split_heads
 from llm_quest_tpu.ops.linear import embedding, init_embedding, init_linear, linear
 from llm_quest_tpu.ops.masks import causal_mask
 from llm_quest_tpu.ops.mlp import init_swiglu, swiglu
@@ -89,7 +89,7 @@ def init_cache(cfg, batch, max_len, *, dtype=None):
     )
 
 
-def _attention(params, cfg, x, mask, cos, sin, cache, layer_idx, position_ids):
+def _attention(params, cfg, x, mask, cos, sin, cache, layer_idx, position_ids, attn_mask=None):
     q = split_heads(linear(params["wq"], x), cfg["n_heads"])
     k = split_heads(linear(params["wk"], x), cfg["num_kv_groups"])
     v = split_heads(linear(params["wv"], x), cfg["num_kv_groups"])
@@ -101,7 +101,10 @@ def _attention(params, cfg, x, mask, cos, sin, cache, layer_idx, position_ids):
     if cache is not None:
         cache, k, v = kvc.update_layer(cache, layer_idx, k, v)
 
-    out = merge_heads(sdpa(q, k, v, mask=mask))
+    out = merge_heads(attention(
+        q, k, v, cfg=cfg, mask=mask, causal=True, attn_mask=attn_mask,
+        flash_ok=cache is None,
+    ))
     return linear(params["out_proj"], out), cache
 
 
@@ -149,7 +152,9 @@ def apply(
         def block_fn(block, h, cache):
             residual = h
             hn = rms_norm_torch_parity(block["pre_att_norm"], h)
-            att_out, cache = _attention(block["att"], cfg, hn, mask, cos, sin, cache, i, position_ids)
+            att_out, cache = _attention(
+                block["att"], cfg, hn, mask, cos, sin, cache, i, position_ids, attn_mask
+            )
             h = residual + att_out
 
             residual = h

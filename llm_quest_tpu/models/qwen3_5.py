@@ -43,7 +43,7 @@ from llm_quest_tpu.config import model_dtype
 from llm_quest_tpu.ops import gdn as gdn_ops
 from llm_quest_tpu.ops import rope
 from llm_quest_tpu.ops.activations import gelu_erf, gelu_tanh, silu
-from llm_quest_tpu.ops.attention import merge_heads, sdpa, split_heads
+from llm_quest_tpu.ops.attention import attention, merge_heads, split_heads
 from llm_quest_tpu.ops.linear import embedding, init_embedding, init_linear, linear
 from llm_quest_tpu.ops.masks import causal_mask
 from llm_quest_tpu.ops.mlp import init_swiglu, swiglu
@@ -156,7 +156,8 @@ def _vision_attention(block, cfg, x, cos, sin):
     q, k, v = (split_heads(t, nhh) for t in (q, k, v))
     q = rope.apply(q, cos, sin)
     k = rope.apply(k, cos, sin)
-    return linear(block["proj"], merge_heads(sdpa(q, k, v)))  # bidirectional
+    # bidirectional, maskless (vision encoder)
+    return linear(block["proj"], merge_heads(attention(q, k, v, cfg=cfg, causal=False)))
 
 
 def apply_vision(params, cfg, pixels):
@@ -328,7 +329,7 @@ def init_mrope_attention(key, cfg, dtype):
     }
 
 
-def mrope_attention(params, cfg, x, mask, cos, sin, position_ids, kv_view):
+def mrope_attention(params, cfg, x, mask, cos, sin, position_ids, kv_view, attn_mask=None):
     """GatedAttention with MRoPE. position_ids: (3, b, s) or None (→ standard
     sequential ids on all 3 dims)."""
     b, s, _ = x.shape
@@ -350,7 +351,10 @@ def mrope_attention(params, cfg, x, mask, cos, sin, position_ids, kv_view):
     if kv_view is not None:
         k, v = kv_view(k, v)
 
-    out = merge_heads(sdpa(q, k, v, mask=mask))
+    out = merge_heads(attention(
+        q, k, v, cfg=cfg, mask=mask, causal=True, attn_mask=attn_mask,
+        flash_ok=kv_view is None,
+    ))
     return linear(params["out_proj"], out * gate.astype(out.dtype))
 
 
@@ -486,7 +490,10 @@ def apply_text(
                     cache = {**cache, "k": kc, "v": vc}
                     return kc[idx], vc[idx]
 
-            att_out = mrope_attention(block["att"], cfg, hn, mask, cos, sin, position_ids, kv_view)
+            att_out = mrope_attention(
+                block["att"], cfg, hn, mask, cos, sin, position_ids, kv_view,
+                attn_mask=attn_mask,
+            )
             attn_i += 1
 
         h = residual + att_out

@@ -30,7 +30,7 @@ from llm_quest_tpu.ops import gdn as gdn_ops
 from llm_quest_tpu.ops import moe as moe_ops
 from llm_quest_tpu.ops import rope
 from llm_quest_tpu.ops.activations import silu
-from llm_quest_tpu.ops.attention import merge_heads, sdpa, split_heads
+from llm_quest_tpu.ops.attention import attention, merge_heads, split_heads
 from llm_quest_tpu.ops.linear import embedding, init_embedding, init_linear, linear
 from llm_quest_tpu.ops.masks import causal_mask
 from llm_quest_tpu.ops.norms import (
@@ -71,7 +71,7 @@ def init_gated_attention(key, cfg, dtype):
     }
 
 
-def gated_attention(params, cfg, x, mask, cos, sin, position_ids, kv_view):
+def gated_attention(params, cfg, x, mask, cos, sin, position_ids, kv_view, attn_mask=None):
     """kv_view: None (no cache) or (k_full, v_full, write_fn) from the cache."""
     b, s, _ = x.shape
     n_heads, hd = cfg["n_heads"], cfg["head_dim"]
@@ -90,7 +90,10 @@ def gated_attention(params, cfg, x, mask, cos, sin, position_ids, kv_view):
     if kv_view is not None:
         k, v = kv_view(k, v)
 
-    out = merge_heads(sdpa(q, k, v, mask=mask))
+    out = merge_heads(attention(
+        q, k, v, cfg=cfg, mask=mask, causal=True, attn_mask=attn_mask,
+        flash_ok=kv_view is None,
+    ))
     return linear(params["out_proj"], out * gate.astype(out.dtype))
 
 
@@ -342,7 +345,10 @@ def apply(
                 if is_gdn_layer(cfg, i):
                     att_out, _ = gated_delta_net(block["att"], cfg, hn, mask_cur, None)
                 else:
-                    att_out = gated_attention(block["att"], cfg, hn, mask, cos, sin, position_ids, None)
+                    att_out = gated_attention(
+                        block["att"], cfg, hn, mask, cos, sin, position_ids, None,
+                        attn_mask=attn_mask,
+                    )
                 h = residual + att_out
                 residual = h
                 hn = zero_centered_rms_norm(block["norm2"], h)
@@ -399,7 +405,10 @@ def apply(
                     cache = {**cache, "k": kc, "v": vc}
                     return kc[idx], vc[idx]
 
-            att_out = gated_attention(block["att"], cfg, hn, mask, cos, sin, position_ids, kv_view)
+            att_out = gated_attention(
+                block["att"], cfg, hn, mask, cos, sin, position_ids, kv_view,
+                attn_mask=attn_mask,
+            )
             ga_i += 1
 
         h = residual + att_out

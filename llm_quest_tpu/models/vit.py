@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from llm_quest_tpu.config import model_dtype
-from llm_quest_tpu.ops.attention import merge_heads, sdpa, split_heads
+from llm_quest_tpu.ops.attention import attention, merge_heads, split_heads
 from llm_quest_tpu.ops.dropout import dropout
 from llm_quest_tpu.ops.linear import init_linear, linear
 from llm_quest_tpu.ops.mlp import init_mlp_gelu, mlp_gelu
@@ -99,7 +99,7 @@ def _attention(params, cfg, x, rng, deterministic):
     v = split_heads(linear(params["wv"], x), n_heads)
     # bidirectional, maskless (reference: vit_attention.py:44-91); attention-
     # weight dropout approximated as output dropout under XLA fusion
-    out = merge_heads(sdpa(q, k, v))
+    out = merge_heads(attention(q, k, v, cfg=cfg, causal=False))
     out = dropout(rng, out, cfg.get("drop_rate", 0.0), deterministic)
     return linear(params["out_proj"], out)
 

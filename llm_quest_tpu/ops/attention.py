@@ -18,6 +18,7 @@ full-sequence path; this XLA version is the reference implementation and the
 decode(q_len small) path.
 """
 
+import jax
 import jax.numpy as jnp
 
 from llm_quest_tpu.ops.masks import mask_value
@@ -85,6 +86,53 @@ def sdpa(q, k, v, *, mask=None, scale=None, sink=None, softcap=None, out_dtype=N
         out = jnp.einsum("bhql,bhld->bhqd", weights, v, preferred_element_type=jnp.float32)
 
     return out.astype(out_dtype)
+
+
+def attention(
+    q,
+    k,
+    v,
+    *,
+    cfg=None,
+    mask=None,
+    causal=True,
+    window_size=None,
+    attn_mask=None,
+    sink=None,
+    softcap=None,
+    scale=None,
+    flash_ok=True,
+):
+    """Attention router: Pallas flash kernel when legal + profitable, XLA sdpa
+    otherwise.
+
+    The flash path activates when ``cfg["use_flash"]`` is set, the call is a
+    full-sequence one (sq == sk — training or uncached forward; the KV-cache
+    decode path stays on sdpa where single-token matmuls beat kernel launch),
+    and the sequence clears ``cfg["flash_min_seq"]`` (default 256 — below
+    that XLA's fused softmax wins, measured on ViT's s=197).
+
+    Flash callers pass the STRUCTURED mask info (causal/window_size/attn_mask
+    as a (b, sk) validity mask); ``mask`` is the dense boolean fallback for
+    sdpa (kept so models build it once per forward).
+    """
+    use_flash = (
+        flash_ok
+        and cfg is not None
+        and cfg.get("use_flash", False)
+        and q.shape[2] == k.shape[2]
+        and q.shape[2] >= cfg.get("flash_min_seq", 256)
+    )
+    if use_flash:
+        from llm_quest_tpu.kernels.flash_attention import flash_attention
+
+        return flash_attention(
+            q, k, v,
+            attn_mask=attn_mask, sink=sink, causal=causal,
+            window_size=window_size, scale=scale, softcap=softcap,
+            interpret=jax.default_backend() != "tpu",
+        ).astype(q.dtype)
+    return sdpa(q, k, v, mask=mask, scale=scale, sink=sink, softcap=softcap)
 
 
 def merge_heads(x):

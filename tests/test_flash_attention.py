@@ -1,15 +1,20 @@
-"""Flash-attention Pallas kernel vs XLA sdpa oracle (interpret mode on CPU)."""
+"""Flash-attention Pallas kernels vs XLA sdpa oracle (interpret mode on CPU).
+
+Forward parity across every feature flag, plus full gradient parity through
+the custom_vjp backward kernels (dq/dk/dv/dsink).
+"""
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from llm_quest_tpu.kernels.flash_attention import NEG_INF, flash_attention
+from llm_quest_tpu.kernels.flash_attention import flash_attention
 from llm_quest_tpu.ops.attention import sdpa
 from llm_quest_tpu.ops.masks import causal_mask
 
 INTERPRET = jax.default_backend() != "tpu"
+FLASH_KW = dict(interpret=INTERPRET, block_q=128, block_k=128)
 
 
 @pytest.fixture(scope="module")
@@ -25,7 +30,7 @@ def test_causal(qkv):
     q, k, v = qkv
     s = q.shape[2]
     ref = sdpa(q, k, v, mask=causal_mask(s))
-    out = flash_attention(q, k, v, causal=True, interpret=INTERPRET)
+    out = flash_attention(q, k, v, causal=True, **FLASH_KW)
     assert float(jnp.abs(ref - out).max()) < 2e-5
 
 
@@ -34,8 +39,7 @@ def test_padding_mask(qkv):
     s = q.shape[2]
     pad = jnp.asarray(np.random.default_rng(0).random((2, s)) > 0.2)
     ref = sdpa(q, k, v, mask=causal_mask(s, attn_mask=pad))
-    bias = jnp.where(pad, 0.0, NEG_INF)
-    out = flash_attention(q, k, v, padding_bias=bias, causal=True, interpret=INTERPRET)
+    out = flash_attention(q, k, v, attn_mask=pad, causal=True, **FLASH_KW)
     assert float(jnp.abs(ref - out).max()) < 2e-5
 
 
@@ -43,20 +47,41 @@ def test_sliding_window(qkv):
     q, k, v = qkv
     s = q.shape[2]
     ref = sdpa(q, k, v, mask=causal_mask(s, window_size=32))
-    out = flash_attention(q, k, v, causal=True, window_size=32, interpret=INTERPRET)
+    out = flash_attention(q, k, v, causal=True, window_size=32, **FLASH_KW)
     assert float(jnp.abs(ref - out).max()) < 2e-5
 
 
 def test_bidirectional_and_softcap(qkv):
     q, k, v = qkv
     ref = sdpa(q, k, v)
-    out = flash_attention(q, k, v, causal=False, interpret=INTERPRET)
+    out = flash_attention(q, k, v, causal=False, **FLASH_KW)
     assert float(jnp.abs(ref - out).max()) < 2e-5
 
     s = q.shape[2]
     ref_cap = sdpa(q, k, v, mask=causal_mask(s), softcap=30.0)
-    out_cap = flash_attention(q, k, v, causal=True, softcap=30.0, interpret=INTERPRET)
+    out_cap = flash_attention(q, k, v, causal=True, softcap=30.0, **FLASH_KW)
     assert float(jnp.abs(ref_cap - out_cap).max()) < 2e-5
+
+
+def test_sink(qkv):
+    """MiMo-V2 attention sinks: extra softmax mass, no value contribution."""
+    q, k, v = qkv
+    s = q.shape[2]
+    sink = jax.random.normal(jax.random.PRNGKey(3), (q.shape[1],))
+    ref = sdpa(q, k, v, mask=causal_mask(s), sink=sink)
+    out = flash_attention(q, k, v, sink=sink, causal=True, **FLASH_KW)
+    assert float(jnp.abs(ref - out).max()) < 2e-5
+
+
+def test_mla_value_dim():
+    """dv != d (DeepSeek MLA) and non-lane-multiple head dims."""
+    b, h, s, d, dv = 1, 2, 130, 48, 40
+    q = jax.random.normal(jax.random.PRNGKey(0), (b, h, s, d))
+    k = jax.random.normal(jax.random.PRNGKey(1), (b, h, s, d))
+    v = jax.random.normal(jax.random.PRNGKey(2), (b, h, s, dv))
+    ref = sdpa(q, k, v, mask=causal_mask(s))
+    out = flash_attention(q, k, v, causal=True, **FLASH_KW)
+    assert float(jnp.abs(ref - out).max()) < 2e-5
 
 
 def test_small_sequence_blocks():
@@ -67,6 +92,111 @@ def test_small_sequence_blocks():
     ref = sdpa(q, k, v, mask=causal_mask(17))
     out = flash_attention(q, k, v, causal=True, interpret=INTERPRET)
     assert float(jnp.abs(ref - out).max()) < 2e-5
+
+
+def _grads(fn, *args):
+    loss = lambda *a: jnp.sum(jnp.sin(fn(*a)))  # nontrivial cotangent
+    return jax.grad(loss, argnums=tuple(range(len(args))))(*args)
+
+
+def test_backward_causal_gqa(qkv):
+    q, k, v = qkv
+    s = q.shape[2]
+    ref_dq, ref_dk, ref_dv = _grads(lambda q, k, v: sdpa(q, k, v, mask=causal_mask(s)), q, k, v)
+    dq, dk, dv = _grads(lambda q, k, v: flash_attention(q, k, v, causal=True, **FLASH_KW), q, k, v)
+    for a, b_, name in ((ref_dq, dq, "dq"), (ref_dk, dk, "dk"), (ref_dv, dv, "dv")):
+        assert float(jnp.abs(a - b_).max()) < 5e-5, (name, float(jnp.abs(a - b_).max()))
+
+
+def test_backward_window_softcap_padding(qkv):
+    q, k, v = qkv
+    s = q.shape[2]
+    pad = jnp.asarray(np.random.default_rng(1).random((2, s)) > 0.2)
+
+    def ref_fn(q, k, v):
+        return sdpa(q, k, v, mask=causal_mask(s, window_size=64, attn_mask=pad), softcap=20.0)
+
+    def flash_fn(q, k, v):
+        return flash_attention(q, k, v, attn_mask=pad, causal=True, window_size=64,
+                               softcap=20.0, **FLASH_KW)
+
+    refs = _grads(ref_fn, q, k, v)
+    outs = _grads(flash_fn, q, k, v)
+    for a, b_, name in zip(refs, outs, ("dq", "dk", "dv")):
+        assert float(jnp.abs(a - b_).max()) < 5e-5, (name, float(jnp.abs(a - b_).max()))
+
+
+def test_backward_sink(qkv):
+    q, k, v = qkv
+    s = q.shape[2]
+    sink = jax.random.normal(jax.random.PRNGKey(3), (q.shape[1],))
+
+    refs = _grads(lambda q, k, v, si: sdpa(q, k, v, mask=causal_mask(s), sink=si), q, k, v, sink)
+    outs = _grads(lambda q, k, v, si: flash_attention(q, k, v, sink=si, causal=True, **FLASH_KW),
+                  q, k, v, sink)
+    for a, b_, name in zip(refs, outs, ("dq", "dk", "dv", "dsink")):
+        assert float(jnp.abs(a - b_).max()) < 5e-5, (name, float(jnp.abs(a - b_).max()))
+
+
+def test_models_use_flash_parity():
+    """cfg["use_flash"] routes model attention through the kernel: logits must
+    match the sdpa path for a causal model, an SWA+softcap model, and a
+    sink+window model."""
+    from llm_quest_tpu.models import gemma3, mimo_v2_flash, qwen3
+
+    s = 320  # above the flash_min_seq threshold
+    ids = jax.random.randint(jax.random.PRNGKey(9), (2, s), 0, 64)
+
+    qcfg = {"model_type": "dense", "vocab_size": 64, "context_length": 512, "emb_dim": 32,
+            "n_layers": 2, "n_heads": 4, "num_kv_groups": 2, "head_dim": 8, "hidden_dim": 64,
+            "rope_base": 10_000, "tie_embeddings": True, "dtype": jnp.float32}
+    params = qwen3.init(jax.random.PRNGKey(0), qcfg)
+    ref, _, _ = qwen3.apply(params, qcfg, ids)
+    out, _, _ = qwen3.apply(params, dict(qcfg, use_flash=True), ids)
+    assert float(jnp.abs(ref - out).max()) < 1e-4
+
+    gcfg = {"vocab_size": 64, "context_length": 512, "emb_dim": 32, "n_layers": 2,
+            "n_heads": 4, "num_kv_groups": 2, "hidden_dim": 64, "window_size": 48,
+            "local_global_att_ratio": 1, "rope_base": 10_000, "dtype": jnp.float32}
+    gparams = gemma3.init(jax.random.PRNGKey(1), gcfg)
+    gref, _, _ = gemma3.apply(gparams, gcfg, ids)
+    gout, _, _ = gemma3.apply(gparams, dict(gcfg, use_flash=True), ids)
+    assert float(jnp.abs(gref - gout).max()) < 1e-4
+
+    mcfg = {"vocab_size": 64, "context_length": 512, "emb_dim": 32, "n_layers": 2,
+            "n_heads": 4, "num_swa_kv_groups": 4, "num_ga_kv_groups": 2, "head_dim": 12,
+            "value_head_dim": 8, "hidden_dim": 64, "window_size": 48, "hybrid_ratio": 2,
+            "rope_base": 10_000, "rope_base_ga": 640_000, "partial_rope_factor": 0.33,
+            "mtp_depth": 0, "mtp_loss_coeff": 0.0, "num_experts": 4, "top_k": 2,
+            "num_shared_experts": 0, "moe_scaling_factor": 1, "moe_bias_update_rate": 1e-3,
+            "dtype": jnp.float32}
+    mparams = mimo_v2_flash.init(jax.random.PRNGKey(2), mcfg)
+    mref, _, _ = mimo_v2_flash.apply(mparams, mcfg, ids)
+    mout, _, _ = mimo_v2_flash.apply(mparams, dict(mcfg, use_flash=True), ids)
+    assert float(jnp.abs(mref - mout).max()) < 1e-4
+
+
+def test_use_flash_training_grads():
+    """Training-step gradients flow through the flash custom_vjp path."""
+    from llm_quest_tpu.models import qwen3
+    from llm_quest_tpu.training.engine import global_loss
+
+    s = 320
+    cfg = {"model_type": "dense", "vocab_size": 64, "context_length": 512, "emb_dim": 32,
+           "n_layers": 2, "n_heads": 4, "num_kv_groups": 2, "head_dim": 8, "hidden_dim": 64,
+           "rope_base": 10_000, "tie_embeddings": True, "dtype": jnp.float32}
+    params = qwen3.init(jax.random.PRNGKey(0), cfg)
+    ids = jax.random.randint(jax.random.PRNGKey(9), (2, s), 0, 64)
+    tgt = jax.random.randint(jax.random.PRNGKey(10), (2, s), 0, 64)
+
+    def loss_fn(params, cfg):
+        logits, _, aux = qwen3.apply(params, cfg, ids)
+        return global_loss(logits, tgt, aux)
+
+    ref_g = jax.grad(loss_fn)(params, cfg)
+    out_g = jax.grad(loss_fn)(params, dict(cfg, use_flash=True))
+    diffs = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()), ref_g, out_g)
+    assert max(jax.tree.leaves(diffs)) < 1e-4, diffs
 
 
 def test_fused_mha_short_seq():
