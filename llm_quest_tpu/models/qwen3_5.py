@@ -34,6 +34,8 @@ every step, qwen3_5_generate_multimodal.py:107-109 — combining its two
 scripts' cached/uncached paths as SURVEY §3.3 prescribes).
 """
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -592,28 +594,67 @@ def apply(params, cfg, input_ids, *, image_pixels=None, attn_mask=None, cache=No
     )
 
 
+# whole-generation jit cache for generate_multimodal: one compiled program per
+# (cfg, shapes, sampler flags) — same trick as inference/generate.py. Without
+# it the prefill dispatches op-by-op (catastrophic over remote transports).
+_MM_JIT_CACHE = {}
+
+
+def _freeze_cfg(obj):
+    if isinstance(obj, dict):
+        return tuple(sorted((k, _freeze_cfg(v)) for k, v in obj.items()))
+    if isinstance(obj, (list, tuple)):
+        return tuple(_freeze_cfg(v) for v in obj)
+    return obj
+
+
 def generate_multimodal(
     params, cfg, input_ids, image_pixels, *, max_gen, temp=0.0, top_k=None, top_p=None, min_p=None,
     eos_ids=None, pad_id=0, rng=None,
 ):
     """Encode image ONCE, prefill the hybrid cache, scan 1-token decode steps
-    (fixes the reference's per-step re-encode, see module docstring).
+    (fixes the reference's per-step re-encode, see module docstring). The 3-D
+    position ids are computed host-side from the concrete prompt, then the
+    whole encode+prefill+decode program runs as ONE jitted computation
+    (cached per cfg/shape/sampler signature).
 
     input_ids: (b, s) prompt with image placeholders already expanded.
     Returns dict {"sequences": (b, s+max_gen)}.
     """
+    b, prompt_len = input_ids.shape
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    eos_list = list(eos_ids) if isinstance(eos_ids, (list, tuple)) else [eos_ids if eos_ids is not None else -1]
+
+    ids_np = np.asarray(input_ids)
+    feeds = get_feeds_3d_shape(cfg, image_pixels.shape) if image_pixels is not None else None
+    prompt_pos = jnp.asarray(compute_3d_position_ids(cfg, ids_np, feeds))  # (3, b, s)
+
+    key = (
+        _freeze_cfg(cfg), ids_np.shape, None if image_pixels is None else tuple(image_pixels.shape),
+        max_gen, temp, top_k, top_p, min_p, tuple(eos_list), pad_id,
+    )
+    fn = _MM_JIT_CACHE.get(key)
+    if fn is None:
+        fn = jax.jit(
+            partial(
+                _generate_multimodal_device, cfg=cfg, max_gen=max_gen, temp=temp, top_k=top_k,
+                top_p=top_p, min_p=min_p, eos_list=tuple(eos_list), pad_id=pad_id,
+            )
+        )
+        _MM_JIT_CACHE[key] = fn
+    return {"sequences": fn(params, jnp.asarray(ids_np), image_pixels, prompt_pos, rng)}
+
+
+def _generate_multimodal_device(
+    params, input_ids, image_pixels, prompt_pos, rng, *, cfg, max_gen, temp, top_k, top_p, min_p,
+    eos_list, pad_id,
+):
     from llm_quest_tpu.ops.sampling import sampling
 
     b, prompt_len = input_ids.shape
     max_total = prompt_len + max_gen
-    if rng is None:
-        rng = jax.random.PRNGKey(0)
-    eos_arr = jnp.asarray(
-        eos_ids if isinstance(eos_ids, (list, tuple)) else [eos_ids if eos_ids is not None else -1], jnp.int32
-    )
-
-    feeds = get_feeds_3d_shape(cfg, image_pixels.shape) if image_pixels is not None else None
-    prompt_pos = jnp.asarray(compute_3d_position_ids(cfg, np.asarray(input_ids), feeds))  # (3, b, s)
+    eos_arr = jnp.asarray(list(eos_list), jnp.int32)
     next_pos0 = jnp.max(prompt_pos, axis=(0, 2)) + 1  # (b,) next sequential position per row
 
     cache = init_cache(cfg, b, max_total)
@@ -642,4 +683,4 @@ def generate_multimodal(
         return (cache, mask_buf, finished, logits_new[:, 0], rng), tok
 
     (_, _, _, _, _), tokens = lax.scan(step, (cache, mask_buf, finished, logits, rng), jnp.arange(max_gen))
-    return {"sequences": jnp.concatenate([input_ids, tokens.T], axis=1)}
+    return jnp.concatenate([input_ids, tokens.T], axis=1)

@@ -192,8 +192,7 @@ def gated_delta_rule_chunked(q, k, v, beta, alpha, prev_state=None, *, chunk_siz
     def pad(x, fill=0.0):
         if s_pad == s:
             return x
-        cfgp = [(0, 0)] * (x.ndim - 1) + [(0, s_pad - s)]
-        # pad along the time axis (axis 2 for 4-D, axis 2 for 3-D beta/alpha)
+        # pad along the time axis (axis 2 for both 4-D q/k/v and 3-D beta/alpha)
         widths = [(0, 0), (0, 0), (0, s_pad - s)] + ([(0, 0)] if x.ndim == 4 else [])
         return jnp.pad(x, widths, constant_values=fill)
 

@@ -381,3 +381,57 @@ def load_ref_mimo(params, cfg, state_dict, *, log=print):
     missing = [m for m in missing if not m.endswith("centroid_bias")]
     assert not missing, f"unmapped target params: {missing}"
     return unflatten_into(params, converted)
+
+
+# ------------------------------------------------------------- Qwen3.5 VLM
+
+# reference: qwen/qwen3_5/qwen3_5_vision_model.py (Conv3d patch embed,
+# nn.LayerNorm weight/bias → scale/shift, fused qkv, ViTMergeAdapter) — the
+# text half reuses QWEN3_5_TEXT_REF_RULES on the "language_model." subtree
+QWEN3_5_VISION_REF_RULES = [
+    ("patch_embed.conv_proj.weight", "patch_embed/conv_w"),
+    ("patch_embed.conv_proj.bias", "patch_embed/conv_b"),
+    ("pos_embed.weight", "pos_embed/w"),
+    ("merge_adapter.norm.weight", "merge/norm/scale"),
+    ("merge_adapter.norm.bias", "merge/norm/shift"),
+    ("merge_adapter.lin1.weight", "merge/lin1/w", T),
+    ("merge_adapter.lin1.bias", "merge/lin1/b"),
+    ("merge_adapter.lin2.weight", "merge/lin2/w", T),
+    ("merge_adapter.lin2.bias", "merge/lin2/b"),
+    ("blocks.", "blocks/"),
+    (".norm1.weight", "/norm1/scale"),
+    (".norm1.bias", "/norm1/shift"),
+    (".norm2.weight", "/norm2/scale"),
+    (".norm2.bias", "/norm2/shift"),
+    (".att.qkv.weight", "/qkv/w", T),
+    (".att.qkv.bias", "/qkv/b"),
+    (".att.proj.weight", "/proj/w", T),
+    (".att.proj.bias", "/proj/b"),
+    (".ffn.lin1.weight", "/fc1/w", T),
+    (".ffn.lin1.bias", "/fc1/b"),
+    (".ffn.lin2.weight", "/fc2/w", T),
+    (".ffn.lin2.bias", "/fc2/b"),
+]
+
+
+def load_ref_qwen3_5_vlm(params, state_dict, *, log=print):
+    """Load a reference Qwen3_5VLM state_dict. The text and vision module
+    trees reuse FFN/attention submodule names that map to DIFFERENT targets,
+    so the two subtrees are converted separately."""
+    text_sd = {
+        k[len("language_model.") :]: v for k, v in state_dict.items() if k.startswith("language_model.")
+    }
+    vision_sd = {
+        k[len("vision_model.") :]: v for k, v in state_dict.items() if k.startswith("vision_model.")
+    }
+    params = dict(params)
+    params["text"] = load_ref_qwen3_5_text(params["text"], text_sd, log=log)
+
+    target = flatten_params(params["vision"])
+    converted = convert_weights(
+        vision_sd, target, QWEN3_5_VISION_REF_RULES, ignored_prefixes=_BUFFER_PREFIXES, log=log
+    )
+    missing = report_loading_status(target, converted, log=log)
+    assert not missing, f"unmapped vision params: {missing}"
+    params["vision"] = unflatten_into(params["vision"], converted)
+    return params

@@ -1,0 +1,153 @@
+"""Speculative-decoding speedup benchmark (reference baseline:
+speculative_decoding/README.md:60-76 — avg 1.85x, best γ=4 at 2.15x).
+
+The reference benchmarks GPT-2 124M (draft) + 774M (target) with real
+weights; this environment has no hub egress, so the honest equivalent is a
+pair of models TRAINED HERE on a low-entropy Markov corpus: a 6-layer target
+and a 2-layer draft learn the same transition structure, giving a
+non-trivial greedy acceptance rate exactly like a distilled draft does.
+
+Measures plain cached decode vs speculative decode for γ ∈ {1, 2, 4, 8},
+greedy, and prints a table plus one JSON summary line.
+"""
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from llm_quest_tpu.models import gpt2
+from llm_quest_tpu.inference import generate as gen
+from llm_quest_tpu.inference.spec_decoding import speculative_generate
+from llm_quest_tpu.ops.losses import cross_entropy
+
+VOCAB = 512
+SEQ = 128
+PROMPT_LEN = 16
+MAX_GEN = int(os.environ.get("SPEC_MAX_GEN", 200))
+TRAIN_STEPS = int(os.environ.get("SPEC_TRAIN_STEPS", 300))
+BATCH = 32
+
+TARGET_CFG = {
+    "vocab_size": VOCAB, "context_length": PROMPT_LEN + MAX_GEN + 16, "emb_dim": 384,
+    "n_heads": 6, "n_layers": 6, "drop_rate": 0.0, "qkv_bias": True,
+}
+DRAFT_CFG = {
+    "vocab_size": VOCAB, "context_length": PROMPT_LEN + MAX_GEN + 16, "emb_dim": 192,
+    "n_heads": 3, "n_layers": 2, "drop_rate": 0.0, "qkv_bias": True,
+}
+
+
+def markov_corpus(n_tokens, seed=0, branch=4):
+    """Low-entropy Markov chain: each state transitions to one of `branch`
+    successors with geometric-ish probabilities (dominant mode ~60%)."""
+    rng = np.random.default_rng(seed)
+    succ = rng.integers(0, VOCAB, size=(VOCAB, branch))
+    p = np.asarray([0.6, 0.25, 0.1, 0.05][:branch])
+    p = p / p.sum()
+    out = np.empty(n_tokens, np.int32)
+    s = 0
+    for i in range(n_tokens):
+        s = succ[s, rng.choice(branch, p=p)]
+        out[i] = s
+    return out
+
+
+def train(model, cfg, corpus, steps, seed):
+    params = model.init(jax.random.PRNGKey(seed), cfg)
+    opt = optax.adamw(3e-4, weight_decay=0.01)
+    opt_state = opt.init(params)
+    n_windows = (len(corpus) - 1) // SEQ
+    inputs = corpus[: n_windows * SEQ].reshape(-1, SEQ)
+    targets = corpus[1 : n_windows * SEQ + 1].reshape(-1, SEQ)
+
+    @jax.jit
+    def step(params, opt_state, x, y):
+        def loss_fn(p):
+            logits, _, _ = model.apply(p, cfg, x)
+            return cross_entropy(logits, y)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    rng = np.random.default_rng(seed)
+    loss = None
+    for i in range(steps):
+        idx = rng.integers(0, n_windows, size=BATCH)
+        params, opt_state, loss = step(params, opt_state, jnp.asarray(inputs[idx]), jnp.asarray(targets[idx]))
+    return params, float(loss)
+
+
+def time_call(fn, n=5):
+    fn()  # compile + warm
+    jax.block_until_ready(fn())
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = fn()
+    jax.block_until_ready(jax.tree.leaves(out))
+    return (time.perf_counter() - t0) / n, out
+
+
+def main():
+    corpus = markov_corpus(200_000)
+    print("training target (6L/384d)...", flush=True)
+    t_params, t_loss = train(gpt2, TARGET_CFG, corpus, TRAIN_STEPS, seed=1)
+    print(f"  target final loss {t_loss:.3f}", flush=True)
+    print("training draft (2L/192d)...", flush=True)
+    d_params, d_loss = train(gpt2, DRAFT_CFG, corpus, TRAIN_STEPS, seed=2)
+    print(f"  draft final loss {d_loss:.3f}", flush=True)
+
+    prompt = jnp.asarray(corpus[:PROMPT_LEN][None].astype(np.int32))
+
+    def plain():
+        return gen.generate_kv_cache(
+            gpt2, t_params, TARGET_CFG, prompt, max_gen=MAX_GEN, temp=0.0, eos_ids=-1, pad_id=0
+        )["sequences"]
+
+    t_plain, plain_seq = time_call(plain)
+    plain_toks = MAX_GEN
+    plain_tok_s = plain_toks / t_plain
+    print(f"plain decode:  {plain_tok_s:8.1f} tok/s  ({t_plain*1e3:.1f} ms / {plain_toks} tok)", flush=True)
+
+    results = {"plain_tok_s": round(plain_tok_s, 1)}
+    speedups = []
+    for gamma in (1, 2, 4, 8):
+        spec = jax.jit(
+            lambda: speculative_generate(
+                gpt2, t_params, TARGET_CFG, gpt2, d_params, DRAFT_CFG, prompt,
+                max_gen=MAX_GEN, draft_max_gen=gamma, temp=0.0, eos_id=None,
+            )
+        )
+        t_spec, out = time_call(spec)
+        n_gen = int(out["num_generated"])
+        n_steps = int(out["num_steps"])
+        tok_s = n_gen / t_spec
+        # per step the target commits n_accepted+1 tokens; acceptance rate =
+        # fraction of drafted tokens kept
+        acc = (n_gen - n_steps) / max(n_steps * gamma, 1)
+        sp = tok_s / plain_tok_s
+        speedups.append(sp)
+        results[f"gamma{gamma}"] = {"tok_s": round(tok_s, 1), "speedup": round(sp, 2), "accept": round(acc, 3)}
+        print(
+            f"spec γ={gamma}:     {tok_s:8.1f} tok/s  speedup {sp:4.2f}x  "
+            f"acceptance {acc:5.1%}  ({n_steps} steps for {n_gen} tok)",
+            flush=True,
+        )
+
+    # greedy losslessness sanity: spec output must match plain decode
+    match = bool(jnp.all(out["sequences"][:, : PROMPT_LEN + int(out["num_generated"])]
+                         == plain_seq[:, : PROMPT_LEN + int(out["num_generated"])]))
+    results["lossless_greedy"] = match
+    results["avg_speedup"] = round(float(np.mean(speedups)), 2)
+    results["best_speedup"] = round(float(np.max(speedups)), 2)
+    results["reference_avg_speedup"] = 1.85
+    print(json.dumps(results), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -222,3 +222,36 @@ def test_mimo_parity():
         ref_logits = ref(ids)
     ours, _, _ = mimo_v2_flash.apply(params, jcfg, jnp.asarray(ids.numpy()))
     assert _max_diff(ref_logits, ours) < ATOL
+
+
+def test_qwen3_5_vlm_parity():
+    from llm_quest.qwen.qwen3_5.qwen3_5_vlm_model import Qwen3_5VLM
+
+    from llm_quest_tpu.models import qwen3_5
+
+    cfg = {"vocab_size": 512, "emb_dim": 64, "hidden_dim": 128, "n_layers": 4,
+           "linear_sdpa_ratio": 2, "n_heads": 4, "num_kv_groups": 2, "head_dim": 16,
+           "rope_base": 10_000_000, "partial_rope_factor": 0.25, "context_length": 256,
+           "linear_num_qk_heads": 2, "linear_num_value_heads": 4, "linear_qk_head_dim": 8,
+           "linear_value_head_dim": 8, "linear_conv_kernel_size": 4,
+           "tie_embeddings": False, "mrope_section": [1, 1, 0], "p_dropout": 0.0,
+           # vision half (64x64 image, 16 spatial patches, 4 merged tokens)
+           "vision_n_layers": 2, "vision_emb_dim": 32, "vision_hidden_dim": 64,
+           "vision_num_heads": 2, "llm_d_in": 64, "in_channels": 3, "patch_size": 16,
+           "spatial_merge_size": 2, "temporal_patch_size": 2, "num_position_embeddings": 16,
+           "img_width": 64, "img_height": 64, "vision_rope_base": 10_000,
+           "image_token_id": 500}
+    torch.manual_seed(0)
+    ref = Qwen3_5VLM(dict(cfg, dtype=torch.float32, training=False, device="cpu")).eval()
+    jcfg = dict(cfg, dtype=jnp.float32)
+    params = qwen3_5.init(jax.random.PRNGKey(0), jcfg)
+    params = ref_torch.load_ref_qwen3_5_vlm(params, _sd(ref), log=_silent)
+
+    # prompt with the 4 merged-vision-token placeholders mid-sequence
+    ids = torch.tensor([[7, 11, 500, 500, 500, 500, 23, 42, 9, 13]])
+    pixels = torch.randn(1, 3, 2, 64, 64)
+    with torch.no_grad():
+        ref_logits = ref(ids, image_pixels=pixels)
+    ours, _, _ = qwen3_5.apply(params, jcfg, jnp.asarray(ids.numpy()),
+                               image_pixels=jnp.asarray(pixels.numpy()))
+    assert _max_diff(ref_logits, ours) < ATOL
