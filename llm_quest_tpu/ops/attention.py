@@ -116,6 +116,29 @@ def attention(
     as a (b, sk) validity mask); ``mask`` is the dense boolean fallback for
     sdpa (kept so models build it once per forward).
     """
+    # fused short-seq kernel: whole (s, s) score tile in VMEM, one program
+    # per group of (b·h) pairs — the ViT/vision-encoder hot path (measured
+    # faster than XLA sdpa at ViT-B s=197 where flash's grid overhead loses).
+    # Engages only for the maskless equal-heads full-sequence case.
+    use_fused = (
+        flash_ok
+        and cfg is not None
+        and cfg.get("use_fused_mha", True)
+        and q.shape[1] == k.shape[1]
+        and q.shape[2] == k.shape[2]
+        and 2 <= q.shape[2] <= cfg.get("fused_mha_max_seq", 512)
+        and mask is None
+        and attn_mask is None
+        and sink is None
+        and softcap is None
+        and window_size is None
+        and jax.default_backend() == "tpu"
+    )
+    if use_fused:
+        from llm_quest_tpu.kernels.fused_mha import fused_mha
+
+        return fused_mha(q, k, v, causal=causal, scale=scale).astype(q.dtype)
+
     use_flash = (
         flash_ok
         and cfg is not None
