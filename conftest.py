@@ -28,6 +28,17 @@ def _needs_cpu_reexec() -> bool:
 
 def pytest_configure(config):
     if not _needs_cpu_reexec():
+        # persistent compilation cache: the suite is compile-bound (hundreds
+        # of one-off jit programs on the virtual CPU mesh); warm reruns skip
+        # most of that. Harmless on cache miss, keyed on jaxlib version.
+        try:
+            import jax
+
+            jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/llm_quest_jax"))
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+            jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
+        except Exception:
+            pass
         return
     capman = config.pluginmanager.getplugin("capturemanager")
     if capman is not None:

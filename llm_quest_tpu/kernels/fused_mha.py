@@ -142,3 +142,98 @@ def fused_mha(q, k, v, *, causal=False, scale=None, group=None, interpret=False)
     if scale is None:
         scale = q.shape[-1] ** -0.5
     return _fused_mha_diff(q, k, v, causal, scale, group, interpret)
+
+
+# ---------------------------------------------------------------- packed MHA
+
+def _packed_mha_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, s_real, head_dim, imgs):
+    """One program = `imgs` batch rows, ALL heads, packed (s, h·d) layout.
+
+    No head transposes exist anywhere: heads are 128-lane slabs of the
+    projection output, sliced in-register. Lane slices of the refs are
+    128-aligned (Mosaic requirement); the d<128 head split happens on values.
+    Out-of-bounds rows of the trailing partial block are garbage on input and
+    dropped on output write-back; garbage KEY columns are masked before the
+    softmax and garbage VALUE rows are zeroed (0·garbage would still be NaN).
+    """
+    s_pad, hd = q_ref.shape[1], q_ref.shape[2]
+    heads_per_slab = 128 // head_dim
+    col2d = lax.broadcasted_iota(jnp.int32, (s_pad, s_pad), 1)
+    key_pad_mask = col2d >= s_real
+    row1d = lax.broadcasted_iota(jnp.int32, (s_pad, 1), 0)
+    v_row_valid = row1d < s_real
+
+    for b in range(imgs):
+        for j in range(hd // 128):
+            sl = slice(j * 128, (j + 1) * 128)
+            q_slab = q_ref[b, :, sl].astype(jnp.float32) * scale  # (s, 128)
+            k_slab = k_ref[b, :, sl].astype(jnp.float32)
+            v_slab = jnp.where(v_row_valid, v_ref[b, :, sl], 0).astype(q_ref.dtype)
+            outs = []
+            for t in range(heads_per_slab):
+                hsl = slice(t * head_dim, (t + 1) * head_dim)
+                qh, kh, vh = q_slab[:, hsl], k_slab[:, hsl], v_slab[:, hsl]
+                scores = lax.dot_general(
+                    qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+                )  # (s, s)
+                scores = jnp.where(key_pad_mask, NEG_INF, scores)
+                m = jnp.max(scores, axis=-1, keepdims=True)
+                p = jnp.exp(scores - m)
+                den = jnp.sum(p, axis=-1, keepdims=True)
+                oh = lax.dot_general(
+                    p.astype(vh.dtype), vh, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+                )
+                outs.append(oh / den)
+            o_ref[b, :, sl] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("n_heads", "scale", "imgs", "interpret"))
+def _packed_mha_impl(q, k, v, *, n_heads, scale=None, imgs=1, interpret=False):
+    b, s, hd = q.shape
+    d = hd // n_heads
+    assert 128 % d == 0 and hd % 128 == 0, (n_heads, d, hd)
+    if scale is None:
+        scale = d**-0.5
+    s_pad = -(-s // 16) * 16
+    if b % imgs:
+        imgs = next(g for g in range(min(imgs, b), 0, -1) if b % g == 0)
+
+    spec = pl.BlockSpec((imgs, s_pad, hd), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_packed_mha_kernel, scale=scale, s_real=s, head_dim=d, imgs=imgs),
+        grid=(b // imgs,),
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((b, s, hd), q.dtype),
+        interpret=interpret,
+    )(q, k, v)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def packed_mha(q, k, v, n_heads, scale=None, interpret=False):
+    """Bidirectional maskless MHA on packed (b, s, h·d) tensors — the
+    ViT/vision-encoder layout straight out of the q/k/v projections.
+    Differentiable (recompute backward through the XLA formula)."""
+    return _packed_mha_impl(q, k, v, n_heads=n_heads, scale=scale, interpret=interpret)
+
+
+def _packed_sdpa_ref(q, k, v, n_heads, scale):
+    b, s, hd = q.shape
+    d = hd // n_heads
+    sp = lambda x: x.reshape(b, s, n_heads, d).transpose(0, 2, 1, 3)
+    scl = d**-0.5 if scale is None else scale
+    out = _sdpa_ref(sp(q), sp(k), sp(v), False, scl)
+    return out.transpose(0, 2, 1, 3).reshape(b, s, hd)
+
+
+def _packed_fwd(q, k, v, n_heads, scale, interpret):
+    return _packed_mha_impl(q, k, v, n_heads=n_heads, scale=scale, interpret=interpret), (q, k, v)
+
+
+def _packed_bwd(n_heads, scale, interpret, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(lambda q, k, v: _packed_sdpa_ref(q, k, v, n_heads, scale), q, k, v)
+    return vjp(g)
+
+
+packed_mha.defvjp(_packed_fwd, _packed_bwd)

@@ -45,7 +45,7 @@ from llm_quest_tpu.config import model_dtype
 from llm_quest_tpu.ops import gdn as gdn_ops
 from llm_quest_tpu.ops import rope
 from llm_quest_tpu.ops.activations import gelu_erf, gelu_tanh, silu
-from llm_quest_tpu.ops.attention import attention, merge_heads, split_heads
+from llm_quest_tpu.ops.attention import attention, merge_heads, mha_packed, split_heads
 from llm_quest_tpu.ops.linear import embedding, init_embedding, init_linear, linear
 from llm_quest_tpu.ops.masks import causal_mask
 from llm_quest_tpu.ops.mlp import init_swiglu, swiglu
@@ -155,11 +155,13 @@ def _vision_attention(block, cfg, x, cos, sin):
     b, s, d = x.shape
     nhh = cfg["vision_num_heads"]
     q, k, v = jnp.split(linear(block["qkv"], x), 3, axis=-1)
-    q, k, v = (split_heads(t, nhh) for t in (q, k, v))
-    q = rope.apply(q, cos, sin)
-    k = rope.apply(k, cos, sin)
-    # bidirectional, maskless (vision encoder)
-    return linear(block["proj"], merge_heads(attention(q, k, v, cfg=cfg, causal=False)))
+    dh = q.shape[-1] // nhh
+    # packed head layout end-to-end (no split/merge transposes): RoPE is
+    # applied on the (b, s, h, d) VIEW, then the bidirectional maskless
+    # attention runs on the packed (b, s, h·d) tensors (Pallas kernel on TPU)
+    q = rope.apply_packed(q.reshape(b, s, nhh, dh), cos, sin).reshape(b, s, -1)
+    k = rope.apply_packed(k.reshape(b, s, nhh, dh), cos, sin).reshape(b, s, -1)
+    return linear(block["proj"], mha_packed(q, k, v, nhh, cfg=cfg))
 
 
 def apply_vision(params, cfg, pixels):
@@ -264,11 +266,10 @@ def fused_gdn(params, cfg, x, attn_mask_cur, gdn_state):
         k = jnp.repeat(k, num_repeat, axis=1)
 
     prev = gdn_state["recurrent"] if gdn_state is not None else None
-    chunk = cfg.get("gdn_chunk_size", 64)
-    if x.shape[1] >= 2 * chunk:
-        ctx, final_state = gdn_ops.gated_delta_rule_chunked(q, k, v, beta, alpha, prev_state=prev, chunk_size=chunk)
-    else:
-        ctx, final_state = gdn_ops.gated_delta_rule(q, k, v, beta, alpha, prev_state=prev)
+    ctx, final_state = gdn_ops.gated_delta_rule_auto(
+        q, k, v, beta, alpha, prev_state=prev,
+        chunk_size=cfg.get("gdn_chunk_size", 64), use_kernel=cfg.get("use_gdn_kernel", True),
+    )
 
     out = _gdn_output(params, cfg, x, ctx)
     new_state = None

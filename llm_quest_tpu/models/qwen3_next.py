@@ -172,13 +172,12 @@ def gated_delta_net(params, cfg, x, attn_mask_cur, gdn_state):
     )
 
     prev = gdn_state["recurrent"] if gdn_state is not None else None
-    # chunked-parallel form for long sequences (exact; MXU matmuls instead of
-    # an s-step recurrence), scan for short ones
-    chunk = cfg.get("gdn_chunk_size", 64)
-    if x.shape[1] >= 2 * chunk:
-        ctx, final_state = gdn_ops.gated_delta_rule_chunked(q, k, v, beta, alpha, prev_state=prev, chunk_size=chunk)
-    else:
-        ctx, final_state = gdn_ops.gated_delta_rule(q, k, v, beta, alpha, prev_state=prev)
+    # long sequences → fused Pallas kernel on TPU / chunked XLA form (exact;
+    # MXU matmuls instead of an s-step recurrence); short ones → scan
+    ctx, final_state = gdn_ops.gated_delta_rule_auto(
+        q, k, v, beta, alpha, prev_state=prev,
+        chunk_size=cfg.get("gdn_chunk_size", 64), use_kernel=cfg.get("use_gdn_kernel", True),
+    )
 
     out = _gdn_output(params, cfg, x, ctx)
 

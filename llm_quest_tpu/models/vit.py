@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from llm_quest_tpu.config import model_dtype
-from llm_quest_tpu.ops.attention import attention, merge_heads, split_heads
+from llm_quest_tpu.ops.attention import mha_packed
 from llm_quest_tpu.ops.dropout import dropout
 from llm_quest_tpu.ops.linear import init_linear, linear
 from llm_quest_tpu.ops.mlp import init_mlp_gelu, mlp_gelu
@@ -93,13 +93,14 @@ def init(key, cfg):
 
 
 def _attention(params, cfg, x, rng, deterministic):
-    n_heads = cfg["n_heads"]
-    q = split_heads(linear(params["wq"], x), n_heads)
-    k = split_heads(linear(params["wk"], x), n_heads)
-    v = split_heads(linear(params["wv"], x), n_heads)
     # bidirectional, maskless (reference: vit_attention.py:44-91); attention-
-    # weight dropout approximated as output dropout under XLA fusion
-    out = merge_heads(attention(q, k, v, cfg=cfg, causal=False))
+    # weight dropout approximated as output dropout under XLA fusion. The
+    # packed path keeps the (b, s, h·d) projection layout end-to-end — no
+    # split/merge head transposes (kernels/fused_mha.py::packed_mha on TPU)
+    out = mha_packed(
+        linear(params["wq"], x), linear(params["wk"], x), linear(params["wv"], x),
+        cfg["n_heads"], cfg=cfg,
+    )
     out = dropout(rng, out, cfg.get("drop_rate", 0.0), deterministic)
     return linear(params["out_proj"], out)
 

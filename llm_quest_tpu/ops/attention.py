@@ -158,6 +158,32 @@ def attention(
     return sdpa(q, k, v, mask=mask, scale=scale, sink=sink, softcap=softcap)
 
 
+def mha_packed(q, k, v, n_heads, *, cfg=None, scale=None):
+    """Bidirectional maskless MHA on packed (b, s, h·d) projection outputs.
+
+    On TPU this dispatches to the transpose-free packed Pallas kernel
+    (kernels/fused_mha.py::packed_mha) — the vision-encoder hot path, where
+    head split/merge transposes and HBM score traffic otherwise dominate.
+    Elsewhere (and for shapes the kernel doesn't cover) it falls back to
+    split-heads + sdpa + merge-heads.
+    """
+    b, s, hd = q.shape
+    d = hd // n_heads
+    use_kernel = (
+        (cfg is None or cfg.get("use_fused_mha", True))
+        and hd % 128 == 0
+        and d in (32, 64, 128)
+        and 2 <= s <= (cfg.get("fused_mha_max_seq", 512) if cfg else 512)
+        and jax.default_backend() == "tpu"
+    )
+    if use_kernel:
+        from llm_quest_tpu.kernels.fused_mha import packed_mha
+
+        return packed_mha(q, k, v, n_heads, scale)
+    out = sdpa(split_heads(q, n_heads), split_heads(k, n_heads), split_heads(v, n_heads), scale=scale)
+    return merge_heads(out)
+
+
 def merge_heads(x):
     """(b, h, s, d) → (b, s, h*d)."""
     b, h, s, d = x.shape

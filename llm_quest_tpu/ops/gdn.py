@@ -105,6 +105,26 @@ def gated_delta_rule_step(q_t, k_t, v_t, beta_t, alpha_t, state):
     return out.astype(q_t.dtype), state
 
 
+def gated_delta_rule_auto(q, k, v, beta, alpha, prev_state=None, *, chunk_size=64, use_kernel=True):
+    """Dispatch the gated delta rule to the best implementation:
+
+    - sequences ≥ 2 chunks on TPU → the fused Pallas kernel
+      (kernels/gdn_pallas.py — state resident in VMEM across chunks)
+    - sequences ≥ 2 chunks elsewhere → the chunked XLA form
+    - short sequences → the lax.scan recurrence
+    """
+    s = q.shape[2]
+    if s >= 2 * min(chunk_size, s):
+        if use_kernel and jax.default_backend() == "tpu":
+            from llm_quest_tpu.kernels.gdn_pallas import gated_delta_rule_pallas
+
+            if prev_state is None:
+                prev_state = jnp.zeros((*v.shape[:2], v.shape[-1], k.shape[-1]), jnp.float32)
+            return gated_delta_rule_pallas(q, k, v, beta, alpha, prev_state, chunk_size)
+        return gated_delta_rule_chunked(q, k, v, beta, alpha, prev_state=prev_state, chunk_size=chunk_size)
+    return gated_delta_rule(q, k, v, beta, alpha, prev_state=prev_state)
+
+
 def init_conv1d(key, channels, kernel_size, *, dtype=jnp.float32):
     """Depthwise conv weights (channels, kernel_size), torch Conv1d init
     (kaiming-uniform with fan_in = kernel_size for groups=channels)."""

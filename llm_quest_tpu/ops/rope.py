@@ -106,6 +106,27 @@ def apply(x, cos, sin, position_ids=None):
     return roped
 
 
+def apply_packed(x, cos, sin):
+    """RoPE on the PACKED head layout x: (b, s, n_heads, head_dim) — same
+    math as ``apply`` with coefficients broadcast over the heads axis. Keeps
+    the vision encoders transpose-free (the (b, s, h·d) projection output is
+    viewed as (b, s, h, d), roped, and viewed back — all reshape, no copy)."""
+    head_dim = x.shape[-1]
+    rotation_dim = cos.shape[-1]
+    if rotation_dim < head_dim:
+        x_rest = x[..., rotation_dim:]
+        x = x[..., :rotation_dim]
+
+    s = x.shape[1]
+    cos_g = cos[:s].astype(x.dtype)[None, :, None, :]  # (1, s, 1, rot)
+    sin_g = sin[:s].astype(x.dtype)[None, :, None, :]
+    roped = cos_g * x + sin_g * rotate_half(x)
+
+    if rotation_dim < head_dim:
+        return jnp.concatenate([roped, x_rest], axis=-1)
+    return roped
+
+
 def interleave_mrope_coeffs(cos3, sin3, mrope_section):
     """MRoPE-I: interleave chunked [TTT..HHH..WWW] rotary coeffs into
     [T,H,W, T,H,W, ..., T,T] layout (reference: rope.py:246-294;

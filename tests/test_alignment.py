@@ -193,6 +193,7 @@ def test_grpo_clip_is_pessimistic():
 # --------------------------------------------------------- end-to-end loops
 
 
+@pytest.mark.slow
 def test_grpo_experience_and_update():
     policy = gpt2.init(jax.random.PRNGKey(0), TINY)
     ref = gpt2.init(jax.random.PRNGKey(0), TINY)

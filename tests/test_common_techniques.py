@@ -154,6 +154,7 @@ def test_hc_res_identity_at_init():
 
 
 @pytest.mark.parametrize("hc_type", ["hc", "mhc", "mhc-lite"])
+@pytest.mark.slow
 def test_hyper_qwen3_forward_and_grads(hc_type):
     cfg = {
         "vocab_size": 64,

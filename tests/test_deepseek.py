@@ -1,5 +1,7 @@
 """DeepSeek-V3 tests: MLA, MTP loss chain, MoE bias updates, MTP collator."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -29,6 +31,7 @@ TINY = {
 }
 
 
+@pytest.mark.slow
 def test_forward_shapes_and_moe_layout():
     params = dsv3.init(jax.random.PRNGKey(0), TINY)
     # first num_ffn layers dense, rest MoE
@@ -52,6 +55,7 @@ def test_mla_shapes():
     assert att["wk_decoup"]["w"].shape == (48, dhd)
 
 
+@pytest.mark.slow
 def test_mtp_loss_and_grads():
     params = dsv3.init(jax.random.PRNGKey(0), TINY)
     batch = [[1, 2, 3, 4, 5, 6], [7, 8, 9, 10]]
@@ -97,6 +101,7 @@ def test_mtp_collator_matches_reference_vectors():
     )
 
 
+@pytest.mark.slow
 def test_bias_update_changes_only_moe_biases():
     params = dsv3.init(jax.random.PRNGKey(0), TINY)
     x = jax.random.randint(jax.random.PRNGKey(1), (2, 16), 0, 128)
@@ -106,6 +111,7 @@ def test_bias_update_changes_only_moe_biases():
     assert jnp.allclose(new["blocks"][2]["moe"]["gate_w"], params["blocks"][2]["moe"]["gate_w"])
 
 
+@pytest.mark.slow
 def test_cached_decode_matches_uncached():
     params = dsv3.init(jax.random.PRNGKey(0), TINY)
     prompt = jax.random.randint(jax.random.PRNGKey(2), (1, 5), 0, 128)
@@ -114,6 +120,7 @@ def test_cached_decode_matches_uncached():
     assert cached["sequences"][0].tolist() == uncached[0].tolist()
 
 
+@pytest.mark.slow
 def test_deepseek_mtp_train_step():
     """Full deepseek engine step: loss drops AND the MoE biases move
     (non-gradient state folded after the optimizer step)."""
@@ -143,6 +150,7 @@ def test_deepseek_mtp_train_step():
     assert float(loss) < float(loss0)
 
 
+@pytest.mark.slow
 def test_mimo_mtp_train_step():
     from llm_quest_tpu.models import mimo_v2_flash as mimo
     from llm_quest_tpu.training.engine import make_optimizer

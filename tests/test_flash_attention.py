@@ -138,6 +138,7 @@ def test_backward_sink(qkv):
         assert float(jnp.abs(a - b_).max()) < 5e-5, (name, float(jnp.abs(a - b_).max()))
 
 
+@pytest.mark.slow
 def test_models_use_flash_parity():
     """cfg["use_flash"] routes model attention through the kernel: logits must
     match the sdpa path for a causal model, an SWA+softcap model, and a
@@ -176,6 +177,7 @@ def test_models_use_flash_parity():
     assert float(jnp.abs(mref - mout).max()) < 1e-4
 
 
+@pytest.mark.slow
 def test_use_flash_training_grads():
     """Training-step gradients flow through the flash custom_vjp path."""
     from llm_quest_tpu.models import qwen3
@@ -210,3 +212,21 @@ def test_fused_mha_short_seq():
     assert float(jnp.abs(sdpa(q, k, v) - fused_mha(q, k, v, interpret=INTERPRET)).max()) < 2e-5
     ref_c = sdpa(q, k, v, mask=causal_mask(s))
     assert float(jnp.abs(ref_c - fused_mha(q, k, v, causal=True, interpret=INTERPRET)).max()) < 2e-5
+
+
+def test_packed_mha_matches_sdpa():
+    """Transpose-free packed-layout kernel vs split-heads sdpa (fp32 exact)."""
+    from llm_quest_tpu.kernels.fused_mha import packed_mha
+    from llm_quest_tpu.ops.attention import merge_heads, split_heads
+
+    b, s, h, d = 2, 197, 12, 64
+    q, k, v = (jax.random.normal(kk, (b, s, h * d), jnp.float32)
+               for kk in jax.random.split(jax.random.PRNGKey(5), 3))
+    ref = merge_heads(sdpa(split_heads(q, h), split_heads(k, h), split_heads(v, h)))
+    out = packed_mha(q, k, v, h, None, INTERPRET)
+    assert float(jnp.abs(ref - out).max()) < 2e-5
+
+    # gradients flow through the recompute custom_vjp
+    g1 = jax.grad(lambda q: jnp.sum(jnp.sin(packed_mha(q, k, v, h, None, INTERPRET))))(q)
+    g2 = jax.grad(lambda q: jnp.sum(jnp.sin(merge_heads(sdpa(split_heads(q, h), split_heads(k, h), split_heads(v, h))))))(q)
+    assert float(jnp.abs(g1 - g2).max()) < 2e-5

@@ -1,0 +1,79 @@
+"""Fused GDN Pallas kernel vs the chunked XLA oracle (interpret mode on CPU).
+
+The kernel computes the same chunk algebra as ops/gdn.py::
+gated_delta_rule_chunked (itself scan-oracle-tested in test_qwen3_next.py),
+so parity here is tight; gradients flow through the custom_vjp recompute.
+"""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from llm_quest_tpu.kernels.gdn_pallas import gated_delta_rule_pallas
+from llm_quest_tpu.ops.gdn import gated_delta_rule_auto, gated_delta_rule_chunked
+
+INTERPRET = jax.default_backend() != "tpu"
+
+
+def _inputs(b=2, h=3, s=130, dk=32, dv=48, seed=0):
+    from llm_quest_tpu.ops.gdn import l2_norm_clamp
+
+    ks = jax.random.split(jax.random.PRNGKey(seed), 6)
+    # q/k L2-normalized — the models always apply l2_norm_clamp before the
+    # delta rule; raw normals make the unit-triangular system overflow (the
+    # scan/chunked forms overflow identically — it's outside the contract)
+    q = l2_norm_clamp(jax.random.normal(ks[0], (b, h, s, dk), jnp.float32))
+    k = l2_norm_clamp(jax.random.normal(ks[1], (b, h, s, dk), jnp.float32))
+    v = jax.random.normal(ks[2], (b, h, s, dv), jnp.float32)
+    beta = jax.nn.sigmoid(jax.random.normal(ks[3], (b, h, s)))
+    alpha = jax.nn.sigmoid(jax.random.normal(ks[4], (b, h, s)) * 0.3 + 2.0)
+    s0 = jax.random.normal(ks[5], (b, h, dv, dk), jnp.float32) * 0.1
+    return q, k, v, beta, alpha, s0
+
+
+def test_matches_chunked_oracle():
+    q, k, v, beta, alpha, s0 = _inputs()
+    out_ref, st_ref = gated_delta_rule_chunked(q, k, v, beta, alpha, s0, chunk_size=64)
+    out_p, st_p = gated_delta_rule_pallas(q, k, v, beta, alpha, s0, 64, INTERPRET)
+    assert float(jnp.max(jnp.abs(out_ref - out_p))) < 1e-5
+    assert float(jnp.max(jnp.abs(st_ref - st_p))) < 1e-5
+
+
+def test_no_prev_state_and_unpadded():
+    q, k, v, beta, alpha, _ = _inputs(s=128, seed=1)
+    zero = jnp.zeros((2, 3, 48, 32), jnp.float32)
+    out_ref, st_ref = gated_delta_rule_chunked(q, k, v, beta, alpha, None, chunk_size=64)
+    out_p, st_p = gated_delta_rule_pallas(q, k, v, beta, alpha, zero, 64, INTERPRET)
+    assert float(jnp.max(jnp.abs(out_ref - out_p))) < 1e-5
+    assert float(jnp.max(jnp.abs(st_ref - st_p))) < 1e-5
+
+
+@pytest.mark.slow
+def test_gradients_match_chunked():
+    q, k, v, beta, alpha, s0 = _inputs(s=128, seed=2)
+
+    def loss(fn):
+        def inner(q, k, v, beta, alpha, s0):
+            o, st = fn(q, k, v, beta, alpha, s0)
+            return jnp.sum(jnp.sin(o)) + 0.01 * jnp.sum(st**2)
+
+        return inner
+
+    gp = jax.grad(loss(lambda *a: gated_delta_rule_pallas(*a, 64, INTERPRET)), argnums=(0, 1, 2, 3, 4, 5))(
+        q, k, v, beta, alpha, s0
+    )
+    gc = jax.grad(loss(lambda *a: gated_delta_rule_chunked(*a, chunk_size=64)), argnums=(0, 1, 2, 3, 4, 5))(
+        q, k, v, beta, alpha, s0
+    )
+    for a, b in zip(gp, gc):
+        assert float(jnp.max(jnp.abs(a - b))) < 1e-5
+
+
+def test_auto_dispatch_short_falls_back_to_scan():
+    q, k, v, beta, alpha, s0 = _inputs(s=17, seed=3)
+    out, st = gated_delta_rule_auto(q, k, v, beta, alpha, s0, chunk_size=64)
+    from llm_quest_tpu.ops.gdn import gated_delta_rule
+
+    out_ref, st_ref = gated_delta_rule(q, k, v, beta, alpha, prev_state=s0)
+    assert float(jnp.max(jnp.abs(out - out_ref))) < 1e-5
+    assert float(jnp.max(jnp.abs(st - st_ref))) < 1e-5

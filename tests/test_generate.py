@@ -1,6 +1,8 @@
 """Generation engine tests: scan-based cached decode vs uncached oracle,
 batched right/left padding, EOS handling."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -26,6 +28,7 @@ def _params():
 
 
 class TestGenerate:
+    @pytest.mark.slow
     def test_cached_greedy_matches_uncached(self):
         params = _params()
         prompt = jnp.asarray([[5, 9, 2, 17]])
@@ -33,6 +36,7 @@ class TestGenerate:
         got = gen.generate_kv_cache(gpt2, params, CFG, prompt, max_gen=6, temp=0.0, eos_ids=EOS, pad_id=PAD)
         np.testing.assert_array_equal(np.asarray(got["sequences"][:, : want.shape[1]]), np.asarray(want))
 
+    @pytest.mark.slow
     def test_right_padded_batch_matches_single(self):
         """Each right-padded row decodes exactly like its unpadded solo run."""
         params = _params()
@@ -65,6 +69,7 @@ class TestGenerate:
             np.asarray(out["sequences"][0, 4:]), np.asarray(solo["sequences"][0, 2:7])
         )
 
+    @pytest.mark.slow
     def test_eos_finishes_row_with_pad(self):
         """Once a row emits its EOS token, only PAD follows and the mask bits
         for EOS and the pads are False (reference: generate.py:345-356)."""
@@ -91,6 +96,7 @@ class TestGenerate:
         out = f(params, ids, mask)
         assert out.shape == (1, 8)
 
+    @pytest.mark.slow
     def test_stochastic_rows_independent_of_batch(self):
         params = _params()
         prompt = jnp.asarray([[5, 9, 2, 17]])

@@ -1,6 +1,8 @@
 """GPT-2 model tests: shapes, cache-vs-no-cache equivalence, padding,
 last_token_only, early-fusion entry."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -39,6 +41,7 @@ class TestGPT2:
         lb, _, _ = gpt2.apply(params, TINY_CFG, ids_b)
         np.testing.assert_allclose(np.asarray(la[0, :3]), np.asarray(lb[0, :3]), atol=1e-5)
 
+    @pytest.mark.slow
     def test_cache_matches_full_forward(self):
         """Prefill + per-token cached decode logits == uncached full forward
         (the reference's cache-vs-no-cache oracle, qwen3_generate.py:13-16)."""

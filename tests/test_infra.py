@@ -31,6 +31,7 @@ class CharTok:
         return bytes(int(i) for i in ids).decode(errors="ignore")
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip(tmp_path):
     params = gpt2.init(jax.random.PRNGKey(0), TINY)
     opt = optax.adamw(1e-3)

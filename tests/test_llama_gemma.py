@@ -44,6 +44,7 @@ def test_weight_tying(model, cfg):
     assert "out" not in params  # tied: no separate head params
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("model,cfg", [(llama3, LLAMA_TINY), (gemma3, GEMMA_TINY)])
 def test_cache_matches_uncached(model, cfg):
     """Greedy decode with KV cache == uncached full-recompute decode."""

@@ -1,5 +1,7 @@
 """MiMo-V2-Flash tests: hybrid layout, sink attention, shrinking-slice MTP."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 
@@ -70,6 +72,7 @@ def test_value_head_dim_decoupled():
     assert ga["wk"]["w"].shape == (32, 2 * 12)
 
 
+@pytest.mark.slow
 def test_forward_and_loss():
     params = mimo.init(jax.random.PRNGKey(0), TINY)
     x = jax.random.randint(jax.random.PRNGKey(1), (2, 12), 0, 128)
@@ -89,6 +92,7 @@ def test_forward_and_loss():
     assert float(jnp.abs(g_sink).max()) > 0
 
 
+@pytest.mark.slow
 def test_cached_decode_matches_uncached():
     params = mimo.init(jax.random.PRNGKey(0), TINY)
     prompt = jax.random.randint(jax.random.PRNGKey(2), (1, 5), 0, 128)

@@ -1,5 +1,7 @@
 """MoE variants: dispatch exactness, aux losses, bias balancing."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -36,6 +38,7 @@ def _dense_reference(experts, x2d, topk_idxs, topk_w, num_experts, activation):
     return jnp.einsum("te,ted->td", combine, out_e)
 
 
+@pytest.mark.slow
 def test_ragged_dispatch_matches_dense_oracle():
     key = jax.random.PRNGKey(0)
     t, d, h, e, k = 32, 16, 24, 6, 2
@@ -49,6 +52,7 @@ def test_ragged_dispatch_matches_dense_oracle():
     assert jnp.allclose(got, want, atol=1e-5), float(jnp.abs(got - want).max())
 
 
+@pytest.mark.slow
 def test_classic_moe_shapes_and_loss():
     params = moe.init_classic_moe(jax.random.PRNGKey(0), CFG, num_experts=8, top_k=2)
     x = jax.random.normal(jax.random.PRNGKey(1), (2, 10, 64))
@@ -60,6 +64,7 @@ def test_classic_moe_shapes_and_loss():
     assert params_auto["experts"]["lin1"].shape[-1] == int(4 * 0.5 * 64)
 
 
+@pytest.mark.slow
 def test_deepseek_moe_bias_update():
     params = moe.init_deepseek_moe(jax.random.PRNGKey(0), CFG)
     x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 64))
@@ -75,6 +80,7 @@ def test_deepseek_moe_bias_update():
     assert float(aux["max_vio"]) >= 0
 
 
+@pytest.mark.slow
 def test_qwen3_moe_gate_replay():
     cfg = dict(CFG, aux_loss_coef=0.001)
     params = moe.init_qwen3_moe(jax.random.PRNGKey(0), cfg)
@@ -86,6 +92,7 @@ def test_qwen3_moe_gate_replay():
     assert "moe_loss" in aux1
 
 
+@pytest.mark.slow
 def test_qwen3_moe_weighted_shared_expert():
     cfg = dict(CFG, shared_expert_hidden_dim=128, re_init_router_weights=True)
     params = moe.init_qwen3_moe(jax.random.PRNGKey(0), cfg)
@@ -98,6 +105,7 @@ def test_qwen3_moe_weighted_shared_expert():
     assert out.shape == x.shape
 
 
+@pytest.mark.slow
 def test_latent_moe():
     cfg = {"emb_dim": 64, "moe_hidden_dim": 128}
     params = moe.init_latent_moe(jax.random.PRNGKey(0), cfg, top_k=2, num_experts=4, latent_ratio=4)
@@ -108,6 +116,7 @@ def test_latent_moe():
     assert aux["counts"].shape == (16,)
 
 
+@pytest.mark.slow
 def test_moe_is_differentiable():
     params = moe.init_classic_moe(jax.random.PRNGKey(0), CFG, num_experts=4, top_k=2)
     x = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 64))

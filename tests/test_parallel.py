@@ -82,6 +82,7 @@ def test_opt_state_mirrors_param_shardings(mesh8):
     assert pspec(replaced[0].mu["tok_emb"]["w"]) == jax.sharding.PartitionSpec("model", None)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip():
     import sys
 
@@ -91,6 +92,7 @@ def test_dryrun_multichip():
     ge.dryrun_multichip(jax.device_count())
 
 
+@pytest.mark.slow
 def test_pipeline_parallel_matches_sequential(mesh8):
     """GPipe pipeline over 4 stages == sequential layer stack; grads flow."""
     from jax.sharding import Mesh
@@ -168,6 +170,7 @@ def test_ring_attention_matches_single_device(mesh8):
     assert jnp.allclose(ref_b, got_b, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_sharded_decode_matches_single_device(mesh8):
     """TP+DP-sharded params through the whole-generation jit: identical
     greedy tokens to the unsharded decode (the jit respects the argument

@@ -57,6 +57,7 @@ def _greedy_ours(model_mod, params, cfg, ids_np, n):
     return np.asarray(out["sequences"])
 
 
+@pytest.mark.slow
 def test_gpt2_parity():
     from llm_quest.gpt.gpt_model import GPTModel
 
@@ -80,6 +81,7 @@ def test_gpt2_parity():
     assert (ref_tokens == our_tokens).all()
 
 
+@pytest.mark.slow
 def test_qwen3_dense_parity():
     from llm_quest.qwen.qwen3.qwen3_model import Qwen3Model
 
@@ -128,6 +130,7 @@ def test_qwen3_moe_parity():
     assert _max_diff(ref_logits, ours) < ATOL
 
 
+@pytest.mark.slow
 def test_qwen3_next_parity():
     from llm_quest.qwen.qwen3_next.qwen3_next_model import Qwen3NextModel
 
@@ -153,6 +156,7 @@ def test_qwen3_next_parity():
     assert _max_diff(ref_logits, ours) < ATOL
 
 
+@pytest.mark.slow
 def test_qwen3_5_text_parity():
     from llm_quest.qwen.qwen3_5.qwen3_5_text_model import Qwen3_5TextModel
 
@@ -177,6 +181,7 @@ def test_qwen3_5_text_parity():
     assert _max_diff(ref_logits, ours) < ATOL
 
 
+@pytest.mark.slow
 def test_deepseek_v3_parity():
     from llm_quest.llama3_to_deepseekv3.deepseek_model import DeepSeekV3Model
 
@@ -200,6 +205,7 @@ def test_deepseek_v3_parity():
     assert _max_diff(ref_logits, ours) < ATOL
 
 
+@pytest.mark.slow
 def test_mimo_parity():
     from llm_quest.xiaomi.mimo_v2_flash_model import MiMoModel
 
@@ -224,6 +230,7 @@ def test_mimo_parity():
     assert _max_diff(ref_logits, ours) < ATOL
 
 
+@pytest.mark.slow
 def test_qwen3_5_vlm_parity():
     from llm_quest.qwen.qwen3_5.qwen3_5_vlm_model import Qwen3_5VLM
 

@@ -53,6 +53,7 @@ def test_head_dim_decoupled():
     assert att["out_proj"]["w"].shape == (64, 48)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("cfg", [DENSE_TINY, MOE_TINY])
 def test_cache_matches_uncached(cfg):
     params = qwen3.init(jax.random.PRNGKey(0), cfg)
@@ -70,6 +71,7 @@ def test_moe_gate_replay_reproduces_logits():
     assert jnp.allclose(logits1, logits2, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_gradient_checkpointing_same_output():
     cfg = dict(DENSE_TINY, gradient_checkpointing=True)
     params = qwen3.init(jax.random.PRNGKey(0), cfg)

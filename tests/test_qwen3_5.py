@@ -1,5 +1,7 @@
 """Qwen3.5 VLM tests: vision tower, FusedGDN text model, VLM wiring, MRoPE ids."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -59,6 +61,7 @@ def test_patch_embedding_3d_matches_conv():
     assert jnp.allclose(got, conv_flat, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_vision_tower_shapes():
     params = q35.init_vision(jax.random.PRNGKey(0), TINY)
     pixels = jax.random.normal(jax.random.PRNGKey(1), (1, 3, 2, 16, 16))
@@ -108,6 +111,7 @@ def test_text_only_position_ids_sequential():
     assert pos[0, 0].tolist() == [0, 1, 2, 3, 4]
 
 
+@pytest.mark.slow
 def test_text_cached_decode_matches_uncached():
     """Hybrid-cache greedy decode == full-recompute decode (text only)."""
     params = q35.init_text(jax.random.PRNGKey(0), TINY)
@@ -151,6 +155,7 @@ def test_vlm_forward_scatters_vision():
     assert jnp.all(jnp.isfinite(logits))
 
 
+@pytest.mark.slow
 def test_vlm_generate_multimodal():
     params = q35.init(jax.random.PRNGKey(0), TINY)
     pixels = jax.random.normal(jax.random.PRNGKey(1), (1, 3, 2, 16, 16))

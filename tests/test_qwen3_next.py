@@ -1,5 +1,7 @@
 """Qwen3-Next tests: GDN recurrence, hybrid layout, cached decode parity."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -110,6 +112,7 @@ def test_causal_conv_update_matches_full():
     assert jnp.allclose(gdn_ops.conv_state_from_prefill(x, ksz), state, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_forward_and_training_aux():
     params = qnext.init(jax.random.PRNGKey(0), TINY)
     x = jax.random.randint(jax.random.PRNGKey(1), (2, 10), 0, 128)
@@ -119,6 +122,7 @@ def test_forward_and_training_aux():
     assert jnp.all(jnp.isfinite(logits))
 
 
+@pytest.mark.slow
 def test_cached_decode_matches_uncached():
     params = qnext.init(jax.random.PRNGKey(0), TINY)
     prompt = jax.random.randint(jax.random.PRNGKey(2), (1, 6), 0, 128)
@@ -160,6 +164,7 @@ def test_chunked_gdn_matches_scan_oracle():
         assert float(jnp.abs(ref_s - st).max()) < 1e-4, cs
 
 
+@pytest.mark.slow
 def test_model_chunked_path_matches_scan_path():
     """Long-sequence forward (chunked GDN) == forced-scan forward."""
     params = qnext.init(jax.random.PRNGKey(0), TINY)

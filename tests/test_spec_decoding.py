@@ -28,6 +28,7 @@ def models():
     )
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("gamma", [1, 2, 4])
 def test_greedy_spec_matches_plain_greedy(models, gamma):
     """The speculative guarantee: greedy output == target-only greedy output."""
@@ -43,6 +44,7 @@ def test_greedy_spec_matches_plain_greedy(models, gamma):
     assert spec["sequences"][0].tolist() == plain["sequences"][0].tolist()
 
 
+@pytest.mark.slow
 def test_perfect_draft_accepts_everything(models):
     """Draft == target → all γ accepted + bonus each step → ~max_gen/(γ+1) steps."""
     target_params, _ = models
@@ -56,6 +58,7 @@ def test_perfect_draft_accepts_everything(models):
     assert int(out["num_steps"]) == -(-max_gen // (gamma + 1))  # ceil
 
 
+@pytest.mark.slow
 def test_eos_stops_generation(models):
     target_params, draft_params = models
     prompt = jax.random.randint(jax.random.PRNGKey(4), (1, 5), 0, 128)
@@ -72,6 +75,7 @@ def test_eos_stops_generation(models):
     assert committed == plain["sequences"][0, 5 : 5 + n].tolist()
 
 
+@pytest.mark.slow
 def test_stochastic_spec_runs_and_is_plausible(models):
     """Stochastic path: correct shapes, tokens in-vocab, steps ≤ tokens."""
     target_params, draft_params = models

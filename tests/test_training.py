@@ -126,6 +126,7 @@ class TestFusedHeadCE:
         assert float(jnp.abs(g_ref - g_got).max()) < 1e-5
 
 
+@pytest.mark.slow
 def test_fused_head_ce_train_step_matches_plain():
     """fused_head_ce train step == plain step (same loss, same update)."""
     import jax

@@ -1,5 +1,7 @@
 """ViT classifier + ViT→GPT-2 VLM tests."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -103,6 +105,7 @@ def test_vlm_loss_alignment():
     assert float(loss0) == 0.0
 
 
+@pytest.mark.slow
 def test_vlm_forward_loss_and_grads():
     vit_params = vit.init(jax.random.PRNGKey(0), VIT_TINY)
     llm_params = gpt2.init(jax.random.PRNGKey(1), GPT_TINY)

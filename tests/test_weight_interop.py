@@ -1,5 +1,7 @@
 """Weight-interop tests with synthetic HF-shaped state dicts (no network)."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -105,6 +107,7 @@ def test_qwen3_moe_expert_stacking():
     assert jnp.all(jnp.isfinite(logits))
 
 
+@pytest.mark.slow
 def test_qwen3_5_vlm_loading():
     cfg = {
         "vocab_size": 64, "emb_dim": 16, "hidden_dim": 32, "n_layers": 2, "linear_sdpa_ratio": 2,
