@@ -36,6 +36,9 @@ from llm_quest_tpu.ops.sampling import sampling
 # whole-generation jit cache: one compiled program per (model, cfg, shapes,
 # sampler flags). Without this the prefill + python glue dispatch op-by-op
 # (catastrophic over remote-device transports: 300 ms/step vs ~10 ms jitted).
+# Unbounded by design: entries are keyed on (id(model-module), cfg, shapes),
+# one per compiled program a process actually uses — the same lifetime as
+# XLA's own executable cache, so eviction would only force recompiles.
 _JIT_CACHE = {}
 
 

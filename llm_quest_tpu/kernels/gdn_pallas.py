@@ -49,8 +49,8 @@ def _gdn_chunk_kernel(
     q = q_ref[...].astype(jnp.float32) * (q_ref.shape[-1] ** -0.5)  # (gb, c, dk)
     k = k_ref[...].astype(jnp.float32)
     v = v_ref[...].astype(jnp.float32)  # (gb, c, dv)
-    bb = beta_ref[...].astype(jnp.float32)  # (gb, c)
-    aa = alpha_ref[...].astype(jnp.float32)
+    bb = beta_ref[0].astype(jnp.float32)  # (gb, c) — blocked as (1, gb, c)
+    aa = alpha_ref[0].astype(jnp.float32)
     state = state_ref[...]  # (gb, dv, dk)
 
     c = q.shape[1]
@@ -60,7 +60,13 @@ def _gdn_chunk_kernel(
     tril_incl = col <= row
     eye = jnp.where(row == col, 1.0, 0.0)
 
-    lgamma = jnp.cumsum(jnp.log(jnp.maximum(aa, 1e-30)), axis=-1)  # (gb, c)
+    # cumsum as a triangular-ones matmul (Mosaic has no cumsum primitive):
+    # lgamma[g, t] = Σ_{i≤t} log α[g, i]
+    cumsum_m = jnp.where(row <= col, 1.0, 0.0)  # (c, c): i ≤ t
+    lgamma = lax.dot_general(
+        jnp.log(jnp.maximum(aa, 1e-30)), cumsum_m, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (gb, c)
     gamma = jnp.exp(lgamma)
     lr = lgamma[..., :, None] - lgamma[..., None, :]
     ratio = jnp.where(tril_incl[None], jnp.exp(jnp.minimum(lr, 0.0)), 0.0)  # (gb, c, c)
@@ -123,16 +129,23 @@ def _gdn_pallas_call(q, k, v, beta, alpha, prev_state, *, chunk_size=64, bh_bloc
     n_chunks = s_pad // c
     qf, kf = q.reshape(bh, s_pad, dk), k.reshape(bh, s_pad, dk)
     vf = v.reshape(bh, s_pad, dv)
-    bf = beta.reshape(bh, s_pad).astype(jnp.float32)
-    af = alpha.reshape(bh, s_pad).astype(jnp.float32)
+    # β/α laid out (n_chunks, bh, c): a (1, gb, c) block keeps the trailing
+    # two dims tile-legal (gb % 8 == 0 or == bh; c == full last dim)
+    bf = jnp.moveaxis(beta.reshape(bh, n_chunks, c), 1, 0).astype(jnp.float32)
+    af = jnp.moveaxis(alpha.reshape(bh, n_chunks, c), 1, 0).astype(jnp.float32)
     s0 = prev_state.reshape(bh, dv, dk).astype(jnp.float32)
 
-    gb = bh_block or min(bh, 32)
-    if bh % gb:
-        gb = next(g for g in range(min(gb, bh), 0, -1) if bh % g == 0)
+    # gb must divide bh AND keep the (1, gb, c) β/α block tile-legal on real
+    # TPU lowering: gb == bh (block == array dim) or gb % 8 == 0
+    gb = bh_block or min(bh, 16)  # 32 exceeds the 16 MB scoped-VMEM limit at dk=dv=128
+    if bh % gb or not (gb == bh or gb % 8 == 0):
+        gb = next(
+            (g for g in range(min(gb, bh), 0, -1) if bh % g == 0 and (g == bh or g % 8 == 0)),
+            bh,
+        )
 
     seq_spec = lambda d: pl.BlockSpec((gb, c, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
-    vec_spec = pl.BlockSpec((gb, c), lambda i, j: (i, j), memory_space=pltpu.VMEM)
+    vec_spec = pl.BlockSpec((1, gb, c), lambda i, j: (j, i, 0), memory_space=pltpu.VMEM)
     st_spec = pl.BlockSpec((gb, dv, dk), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM)
 
     out, sfin = pl.pallas_call(

@@ -139,10 +139,15 @@ def attention(
 
         return fused_mha(q, k, v, causal=causal, scale=scale).astype(q.dtype)
 
+    # default ON for TPU executions (streamed-KV kernel beats materialized
+    # scores from ~2k ctx and is required for SWA to be O(L·w) not O(L²));
+    # default OFF elsewhere so CPU tests exercise the XLA reference path —
+    # set cfg["use_flash"] explicitly to force either way
+    flash_default = jax.default_backend() == "tpu"
     use_flash = (
         flash_ok
         and cfg is not None
-        and cfg.get("use_flash", False)
+        and cfg.get("use_flash", flash_default)
         and q.shape[2] == k.shape[2]
         and q.shape[2] >= cfg.get("flash_min_seq", 256)
     )
