@@ -90,6 +90,13 @@ def ring_attention(mesh, axis, q, k, v, *, causal=True, scale=None):
             src = (idx - t) % n_dev  # which device's chunk we hold this step
             k_pos = src * s_loc + jnp.arange(s_loc)
 
+            # issue the ring transfer FIRST: the collective-permute has no
+            # dependency on this step's math, so XLA's latency-hiding
+            # scheduler overlaps the ICI transfer with the attention compute
+            # (permute-after-compute serializes them)
+            k_nxt = lax.ppermute(k_blk, axis, perm)
+            v_nxt = lax.ppermute(v_blk, axis, perm)
+
             scores = jnp.einsum(
                 "bhqd,bhkd->bhqk", q32, k_blk.astype(jnp.float32), preferred_element_type=jnp.float32
             )
@@ -104,9 +111,7 @@ def ring_attention(mesh, axis, q, k, v, *, causal=True, scale=None):
                 "bhqk,bhkd->bhqd", p, v_blk.astype(jnp.float32), preferred_element_type=jnp.float32
             )
 
-            k_blk = lax.ppermute(k_blk, axis, perm)
-            v_blk = lax.ppermute(v_blk, axis, perm)
-            return (m_new, l, acc, k_blk, v_blk), None
+            return (m_new, l, acc, k_nxt, v_nxt), None
 
         (m, l, acc, _, _), _ = lax.scan(step, (m, l, acc, k_loc, v_loc), jnp.arange(n_dev))
         return (acc / jnp.maximum(l, 1e-30)).astype(q_loc.dtype)
