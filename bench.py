@@ -20,12 +20,18 @@ every step) measures 0.116 tok/s fp32 on this host's CPU → bar = 0.232.
 """
 
 import json
+import os
 import statistics
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# persistent compilation cache: the three benches compile ~6 large programs
+# (minutes over the tunneled backend); warm runs skip that entirely
+jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/llm_quest_jax"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 TORCH_CPU_MM_TOK_S = 0.116  # measured: reference VLM multimodal decode (uncached re-encode path)
 TORCH_CPU_TEXT_TOK_S = 3.73  # measured: reference Qwen3_5TextModel + Qwen3_5Cache fp32 decode

@@ -435,3 +435,114 @@ def load_ref_qwen3_5_vlm(params, state_dict, *, log=print):
     assert not missing, f"unmapped vision params: {missing}"
     params["vision"] = unflatten_into(params["vision"], converted)
     return params
+
+
+# -------------------------------------------------------------- Llama-3.2
+
+# reference: gpt_to_llama3/ (RMSNorm param "scale"; FFN lin1=up, lin_gate=gate,
+# lin2=down; out_head.weight is tied to emb_dict.weight → ignored duplicate)
+LLAMA3_REF_RULES = [
+    ("emb_dict.weight", "tok_emb/w"),
+    ("final_norm.scale", "final_norm/scale"),
+    ("trf_blocks.", "blocks/"),
+    (".att.w_queries.weight", "/att/wq/w", T),
+    (".att.w_keys.weight", "/att/wk/w", T),
+    (".att.w_values.weight", "/att/wv/w", T),
+    (".att.out_proj.weight", "/att/out_proj/w", T),
+    (".att.out_proj.bias", "/att/out_proj/b"),
+    (".norm_1.scale", "/pre_att_norm/scale"),
+    (".norm_2.scale", "/pre_ffn_norm/scale"),
+    (".ffn.lin_gate.weight", "/ffn/gate/w", T),
+    (".ffn.lin1.weight", "/ffn/up/w", T),
+    (".ffn.lin2.weight", "/ffn/down/w", T),
+]
+
+
+def load_ref_llama3(params, state_dict, *, log=print):
+    target = flatten_params(params)
+    converted = convert_weights(
+        state_dict, target, LLAMA3_REF_RULES,
+        ignored_prefixes=_BUFFER_PREFIXES + ("out_head.",), log=log,
+    )
+    missing = report_loading_status(target, converted, log=log)
+    assert not missing, f"unmapped target params: {missing}"
+    return unflatten_into(params, converted)
+
+
+# --------------------------------------------------------------- Gemma-3
+
+# reference: llama3_to_gemma3/ (4 RMSNorms per block; QK LayerNorm with
+# scale+shift; GeGLU lin1=up, lin_gate=gate; tied out_head ignored)
+GEMMA3_REF_RULES = [
+    ("emb_dict.weight", "tok_emb/w"),
+    ("final_norm.scale", "final_norm/scale"),
+    ("trf_blocks.", "blocks/"),
+    (".att.w_queries.weight", "/att/wq/w", T),
+    (".att.w_keys.weight", "/att/wk/w", T),
+    (".att.w_values.weight", "/att/wv/w", T),
+    (".att.out_proj.weight", "/att/out_proj/w", T),
+    (".att.out_proj.bias", "/att/out_proj/b"),
+    (".att.q_norm.scale", "/att/q_norm/scale"),
+    (".att.q_norm.shift", "/att/q_norm/shift"),
+    (".att.k_norm.scale", "/att/k_norm/scale"),
+    (".att.k_norm.shift", "/att/k_norm/shift"),
+    (".pre_att_norm.scale", "/pre_att_norm/scale"),
+    (".post_att_norm.scale", "/post_att_norm/scale"),
+    (".pre_ffn_norm.scale", "/pre_ffn_norm/scale"),
+    (".post_ffn_norm.scale", "/post_ffn_norm/scale"),
+    (".ffn.lin_gate.weight", "/ffn/gate/w", T),
+    (".ffn.lin1.weight", "/ffn/up/w", T),
+    (".ffn.lin2.weight", "/ffn/down/w", T),
+]
+
+
+def load_ref_gemma3(params, state_dict, *, log=print):
+    target = flatten_params(params)
+    converted = convert_weights(
+        state_dict, target, GEMMA3_REF_RULES,
+        ignored_prefixes=_BUFFER_PREFIXES + ("out_head.", "swa_mask"), log=log,
+    )
+    missing = report_loading_status(target, converted, log=log)
+    assert not missing, f"unmapped target params: {missing}"
+    return unflatten_into(params, converted)
+
+
+# ------------------------------------------------------------- ViT (scratch)
+
+# reference: multimodal/vision_transformer/ (Conv2d patch embed kept in conv
+# layout (d, c, p, p); GPT-style LayerNorm scale/shift; FFN layers.0/2)
+VIT_REF_RULES = [
+    ("patch_embedding.conv_proj.weight", "patch_emb/conv_w"),
+    ("patch_embedding.conv_proj.bias", "patch_emb/conv_b"),
+    ("patch_embedding.cls_token", "patch_emb/cls_token"),
+    ("pos_embedding", "pos_emb"),
+    ("final_ln.scale", "final_ln/scale"),
+    ("final_ln.shift", "final_ln/shift"),
+    ("classifier.weight", "classifier/w", T),
+    ("classifier.bias", "classifier/b"),
+    ("transformer_blocks.", "blocks/"),
+    (".att.w_queries.weight", "/att/wq/w", T),
+    (".att.w_queries.bias", "/att/wq/b"),
+    (".att.w_keys.weight", "/att/wk/w", T),
+    (".att.w_keys.bias", "/att/wk/b"),
+    (".att.w_values.weight", "/att/wv/w", T),
+    (".att.w_values.bias", "/att/wv/b"),
+    (".att.out_proj.weight", "/att/out_proj/w", T),
+    (".att.out_proj.bias", "/att/out_proj/b"),
+    (".ln_1.scale", "/ln_1/scale"),
+    (".ln_1.shift", "/ln_1/shift"),
+    (".ln_2.scale", "/ln_2/scale"),
+    (".ln_2.shift", "/ln_2/shift"),
+    (".ffn.layers.0.weight", "/ffn/fc/w", T),
+    (".ffn.layers.0.bias", "/ffn/fc/b"),
+    (".ffn.layers.2.weight", "/ffn/proj/w", T),
+    (".ffn.layers.2.bias", "/ffn/proj/b"),
+]
+
+
+def load_ref_vit(params, state_dict, *, log=print):
+    target = flatten_params(params)
+    converted = convert_weights(state_dict, target, VIT_REF_RULES, ignored_prefixes=_BUFFER_PREFIXES, log=log)
+    missing = report_loading_status(target, converted, log=log)
+    assert not missing, f"unmapped target params: {missing}"
+    return unflatten_into(params, converted)

@@ -262,3 +262,78 @@ def test_qwen3_5_vlm_parity():
     ours, _, _ = qwen3_5.apply(params, jcfg, jnp.asarray(ids.numpy()),
                                image_pixels=jnp.asarray(pixels.numpy()))
     assert _max_diff(ref_logits, ours) < ATOL
+
+
+@pytest.mark.slow
+def test_llama3_parity():
+    from llm_quest.gpt_to_llama3.llama_model import Llama3Model
+
+    from llm_quest_tpu.models import llama3
+
+    cfg = {"vocab_size": 128, "context_length": 64, "emb_dim": 48, "n_heads": 4,
+           "n_layers": 2, "num_kv_groups": 2, "hidden_dim": 96, "rope_base": 10_000,
+           "rope_freq": {"factor": 32.0, "alpha": 1.0, "beta": 32.0,
+                         "og_ctx_len": 4096, "ctx_len": 8192}}
+    torch.manual_seed(0)
+    ref = Llama3Model(dict(cfg, dtype=torch.float32)).eval()
+    jcfg = dict(cfg, dtype=jnp.float32)
+    params = llama3.init(jax.random.PRNGKey(0), jcfg)
+    params = ref_torch.load_ref_llama3(params, _sd(ref), log=_silent)
+
+    ids = torch.randint(0, 128, (2, 12))
+    with torch.no_grad():
+        ref_logits = ref(ids)
+    ours, _, _ = llama3.apply(params, jcfg, jnp.asarray(ids.numpy()))
+    assert _max_diff(ref_logits, ours) < ATOL
+
+    ref_tokens = _greedy_ref(ref, ids[:, :6], 8)
+    our_tokens = _greedy_ours(llama3, params, jcfg, ids[:, :6].numpy(), 8)
+    assert (ref_tokens == our_tokens).all()
+
+
+@pytest.mark.slow
+def test_gemma3_parity():
+    from llm_quest.llama3_to_gemma3.gemma3_model import Gemma3Model
+
+    from llm_quest_tpu.models import gemma3
+
+    cfg = {"vocab_size": 128, "context_length": 64, "emb_dim": 48, "n_heads": 4,
+           "n_layers": 4, "num_kv_groups": 2, "hidden_dim": 96, "window_size": 8,
+           "local_global_att_ratio": 2, "rope_base": 10_000, "logits_softcap": 30.0}
+    torch.manual_seed(0)
+    ref = Gemma3Model(dict(cfg, dtype=torch.float32)).eval()
+    jcfg = dict(cfg, dtype=jnp.float32)
+    params = gemma3.init(jax.random.PRNGKey(0), jcfg)
+    params = ref_torch.load_ref_gemma3(params, _sd(ref), log=_silent)
+
+    ids = torch.randint(0, 128, (2, 12))
+    with torch.no_grad():
+        ref_logits = ref(ids)
+    ours, _, _ = gemma3.apply(params, jcfg, jnp.asarray(ids.numpy()))
+    assert _max_diff(ref_logits, ours) < ATOL
+
+
+def test_vit_parity():
+    from llm_quest.multimodal.vision_transformer.vit_model import ViTModel
+
+    from llm_quest_tpu.models import vit
+
+    cfg = {"img_width": 32, "img_height": 32, "patch_size": 8, "num_channels": 3,
+           "emb_dim": 64, "n_layers": 2, "n_heads": 4, "drop_rate": 0.0,
+           "qkv_bias": True, "num_classes": 10}
+    torch.manual_seed(0)
+    ref = ViTModel(cfg).eval()
+    jcfg = dict(cfg, dtype=jnp.float32)
+    params = vit.init(jax.random.PRNGKey(0), jcfg)
+    params = ref_torch.load_ref_vit(params, _sd(ref), log=_silent)
+
+    x = torch.randn(2, 3, 32, 32)
+    with torch.no_grad():
+        ref_logits = ref(x)
+    ours = vit.apply(params, jcfg, jnp.asarray(x.numpy()))
+    assert _max_diff(ref_logits, ours) < ATOL
+
+    with torch.no_grad():
+        ref_hidden = ref(x, output_hidden_states=True)
+    our_hidden = vit.apply(params, jcfg, jnp.asarray(x.numpy()), output_hidden_states=True)
+    assert _max_diff(ref_hidden, our_hidden) < ATOL
