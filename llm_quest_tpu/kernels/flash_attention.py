@@ -112,7 +112,7 @@ def _fwd_kernel(
         if softcap is not None:
             s = softcap * jnp.tanh(s / softcap)
         if bias_ref is not None:
-            s = s + bias_ref[0][None, :]
+            s = s + bias_ref[0]
         s = jnp.where(
             _score_mask(qb * block_q, kb * block_k, block_q, block_k, sk, causal, window_size),
             NEG_INF, s,
@@ -162,7 +162,7 @@ def _recompute_p(q, k, lse, bias, qb, kb, *,
     else:
         s = s_raw
     if bias is not None:
-        s = s + bias[None, :]
+        s = s + bias
     mask = _score_mask(qb * block_q, kb * block_k, block_q, block_k, sk, causal, window_size)
     s = jnp.where(mask, NEG_INF, s)
     p = jnp.exp(s - lse)  # rows with all-masked scores have lse such that p≈0
@@ -299,7 +299,9 @@ def _prepare(q, k, v, attn_mask, block_q, block_k):
     bias = None
     if attn_mask is not None:
         bias = jnp.where(attn_mask.astype(bool), 0.0, NEG_INF).astype(jnp.float32)
-        bias = _pad_seq(bias, sk_p, 1)  # padded tail masked by sk check anyway
+        bias = _pad_seq(bias, sk_p, 1)[:, None, :]  # (b, 1, sk_p): the middle
+        # singleton keeps the (1, 1, block_k) block tile-legal on real Mosaic
+        # lowering (a 2-D (1, block_k) block has an illegal sublane dim)
     return q, k, v, bias, (b, hq, hkv, sq, sk, d, dv, sq_p, sk_p, d_p, dv_p)
 
 
@@ -319,8 +321,8 @@ def _fwd(q, k, v, attn_mask, sink, *, causal, window_size, scale, softcap,
     args = [q3, k3, v3]
     if bias is not None:
         in_specs.append(pl.BlockSpec(
-            (1, block_k),
-            lambda bh, qb, kb, hq=hq: (bh // hq, kv_map(bh * 0, qb, kb)[1]),
+            (1, 1, block_k),
+            lambda bh, qb, kb, hq=hq: (bh // hq, 0, kv_map(bh * 0, qb, kb)[1]),
             memory_space=pltpu.VMEM,
         ))
         args.append(bias)
@@ -399,8 +401,8 @@ def _bwd(q, k, v, attn_mask, sink, o, lse3, g, *, causal, window_size, scale,
     dq_args = [q3, k3, v3, do, lse_b, delta3]
     if bias is not None:
         dq_specs.insert(3, pl.BlockSpec(
-            (1, block_k),
-            lambda bh, qb, kb, hq=hq: (bh // hq, kv_map(bh * 0, qb, kb)[1]),
+            (1, 1, block_k),
+            lambda bh, qb, kb, hq=hq: (bh // hq, 0, kv_map(bh * 0, qb, kb)[1]),
             memory_space=pltpu.VMEM,
         ))
         dq_args.insert(3, bias)
@@ -442,7 +444,7 @@ def _bwd(q, k, v, attn_mask, sink, o, lse3, g, *, causal, window_size, scale,
     dkv_args = [q3, k3, v3, do, lse_b, delta3]
     if bias is not None:
         dkv_specs.insert(3, pl.BlockSpec(
-            (1, block_k), lambda bh, kb, qb, hq=hq: (bh // hq, kb), memory_space=pltpu.VMEM
+            (1, 1, block_k), lambda bh, kb, qb, hq=hq: (bh // hq, 0, kb), memory_space=pltpu.VMEM
         ))
         dkv_args.insert(3, bias)
 

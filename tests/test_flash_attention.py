@@ -16,6 +16,11 @@ from llm_quest_tpu.ops.masks import causal_mask
 INTERPRET = jax.default_backend() != "tpu"
 FLASH_KW = dict(interpret=INTERPRET, block_q=128, block_k=128)
 
+# interpret mode computes exact fp32; the real chip executes fp32 matmuls at
+# bf16-input precision by default, so kernel-vs-XLA diffs land around 1e-3
+TOL = 2e-5 if INTERPRET else 1e-2
+GRAD_TOL = 5e-5 if INTERPRET else 2e-2
+
 
 @pytest.fixture(scope="module")
 def qkv():
@@ -31,7 +36,7 @@ def test_causal(qkv):
     s = q.shape[2]
     ref = sdpa(q, k, v, mask=causal_mask(s))
     out = flash_attention(q, k, v, causal=True, **FLASH_KW)
-    assert float(jnp.abs(ref - out).max()) < 2e-5
+    assert float(jnp.abs(ref - out).max()) < TOL
 
 
 def test_padding_mask(qkv):
@@ -40,7 +45,7 @@ def test_padding_mask(qkv):
     pad = jnp.asarray(np.random.default_rng(0).random((2, s)) > 0.2)
     ref = sdpa(q, k, v, mask=causal_mask(s, attn_mask=pad))
     out = flash_attention(q, k, v, attn_mask=pad, causal=True, **FLASH_KW)
-    assert float(jnp.abs(ref - out).max()) < 2e-5
+    assert float(jnp.abs(ref - out).max()) < TOL
 
 
 def test_sliding_window(qkv):
@@ -48,19 +53,19 @@ def test_sliding_window(qkv):
     s = q.shape[2]
     ref = sdpa(q, k, v, mask=causal_mask(s, window_size=32))
     out = flash_attention(q, k, v, causal=True, window_size=32, **FLASH_KW)
-    assert float(jnp.abs(ref - out).max()) < 2e-5
+    assert float(jnp.abs(ref - out).max()) < TOL
 
 
 def test_bidirectional_and_softcap(qkv):
     q, k, v = qkv
     ref = sdpa(q, k, v)
     out = flash_attention(q, k, v, causal=False, **FLASH_KW)
-    assert float(jnp.abs(ref - out).max()) < 2e-5
+    assert float(jnp.abs(ref - out).max()) < TOL
 
     s = q.shape[2]
     ref_cap = sdpa(q, k, v, mask=causal_mask(s), softcap=30.0)
     out_cap = flash_attention(q, k, v, causal=True, softcap=30.0, **FLASH_KW)
-    assert float(jnp.abs(ref_cap - out_cap).max()) < 2e-5
+    assert float(jnp.abs(ref_cap - out_cap).max()) < TOL
 
 
 def test_sink(qkv):
@@ -70,7 +75,7 @@ def test_sink(qkv):
     sink = jax.random.normal(jax.random.PRNGKey(3), (q.shape[1],))
     ref = sdpa(q, k, v, mask=causal_mask(s), sink=sink)
     out = flash_attention(q, k, v, sink=sink, causal=True, **FLASH_KW)
-    assert float(jnp.abs(ref - out).max()) < 2e-5
+    assert float(jnp.abs(ref - out).max()) < TOL
 
 
 def test_mla_value_dim():
@@ -81,7 +86,7 @@ def test_mla_value_dim():
     v = jax.random.normal(jax.random.PRNGKey(2), (b, h, s, dv))
     ref = sdpa(q, k, v, mask=causal_mask(s))
     out = flash_attention(q, k, v, causal=True, **FLASH_KW)
-    assert float(jnp.abs(ref - out).max()) < 2e-5
+    assert float(jnp.abs(ref - out).max()) < TOL
 
 
 def test_small_sequence_blocks():
@@ -91,7 +96,7 @@ def test_small_sequence_blocks():
     v = jax.random.normal(jax.random.PRNGKey(2), (1, 2, 17, 32))
     ref = sdpa(q, k, v, mask=causal_mask(17))
     out = flash_attention(q, k, v, causal=True, interpret=INTERPRET)
-    assert float(jnp.abs(ref - out).max()) < 2e-5
+    assert float(jnp.abs(ref - out).max()) < TOL
 
 
 def _grads(fn, *args):
@@ -105,7 +110,7 @@ def test_backward_causal_gqa(qkv):
     ref_dq, ref_dk, ref_dv = _grads(lambda q, k, v: sdpa(q, k, v, mask=causal_mask(s)), q, k, v)
     dq, dk, dv = _grads(lambda q, k, v: flash_attention(q, k, v, causal=True, **FLASH_KW), q, k, v)
     for a, b_, name in ((ref_dq, dq, "dq"), (ref_dk, dk, "dk"), (ref_dv, dv, "dv")):
-        assert float(jnp.abs(a - b_).max()) < 5e-5, (name, float(jnp.abs(a - b_).max()))
+        assert float(jnp.abs(a - b_).max()) < GRAD_TOL, (name, float(jnp.abs(a - b_).max()))
 
 
 def test_backward_window_softcap_padding(qkv):
@@ -123,7 +128,7 @@ def test_backward_window_softcap_padding(qkv):
     refs = _grads(ref_fn, q, k, v)
     outs = _grads(flash_fn, q, k, v)
     for a, b_, name in zip(refs, outs, ("dq", "dk", "dv")):
-        assert float(jnp.abs(a - b_).max()) < 5e-5, (name, float(jnp.abs(a - b_).max()))
+        assert float(jnp.abs(a - b_).max()) < GRAD_TOL, (name, float(jnp.abs(a - b_).max()))
 
 
 def test_backward_sink(qkv):
@@ -135,7 +140,7 @@ def test_backward_sink(qkv):
     outs = _grads(lambda q, k, v, si: flash_attention(q, k, v, sink=si, causal=True, **FLASH_KW),
                   q, k, v, sink)
     for a, b_, name in zip(refs, outs, ("dq", "dk", "dv", "dsink")):
-        assert float(jnp.abs(a - b_).max()) < 5e-5, (name, float(jnp.abs(a - b_).max()))
+        assert float(jnp.abs(a - b_).max()) < GRAD_TOL, (name, float(jnp.abs(a - b_).max()))
 
 
 @pytest.mark.slow
@@ -209,9 +214,9 @@ def test_fused_mha_short_seq():
     q = jax.random.normal(jax.random.PRNGKey(0), (b, h, s, d))
     k = jax.random.normal(jax.random.PRNGKey(1), (b, h, s, d))
     v = jax.random.normal(jax.random.PRNGKey(2), (b, h, s, d))
-    assert float(jnp.abs(sdpa(q, k, v) - fused_mha(q, k, v, interpret=INTERPRET)).max()) < 2e-5
+    assert float(jnp.abs(sdpa(q, k, v) - fused_mha(q, k, v, interpret=INTERPRET)).max()) < TOL
     ref_c = sdpa(q, k, v, mask=causal_mask(s))
-    assert float(jnp.abs(ref_c - fused_mha(q, k, v, causal=True, interpret=INTERPRET)).max()) < 2e-5
+    assert float(jnp.abs(ref_c - fused_mha(q, k, v, causal=True, interpret=INTERPRET)).max()) < TOL
 
 
 def test_packed_mha_matches_sdpa():
@@ -224,9 +229,9 @@ def test_packed_mha_matches_sdpa():
                for kk in jax.random.split(jax.random.PRNGKey(5), 3))
     ref = merge_heads(sdpa(split_heads(q, h), split_heads(k, h), split_heads(v, h)))
     out = packed_mha(q, k, v, h, None, INTERPRET)
-    assert float(jnp.abs(ref - out).max()) < 2e-5
+    assert float(jnp.abs(ref - out).max()) < TOL
 
     # gradients flow through the recompute custom_vjp
     g1 = jax.grad(lambda q: jnp.sum(jnp.sin(packed_mha(q, k, v, h, None, INTERPRET))))(q)
     g2 = jax.grad(lambda q: jnp.sum(jnp.sin(merge_heads(sdpa(split_heads(q, h), split_heads(k, h), split_heads(v, h))))))(q)
-    assert float(jnp.abs(g1 - g2).max()) < 2e-5
+    assert float(jnp.abs(g1 - g2).max()) < TOL

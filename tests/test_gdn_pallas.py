@@ -14,6 +14,10 @@ from llm_quest_tpu.ops.gdn import gated_delta_rule_auto, gated_delta_rule_chunke
 
 INTERPRET = jax.default_backend() != "tpu"
 
+# interpret mode is bit-exact vs the chunked oracle (identical op sequence);
+# the real chip runs fp32 matmuls at bf16-input precision by default → ~1e-3
+TOL = 1e-5 if INTERPRET else 1e-2
+
 
 def _inputs(b=2, h=3, s=130, dk=32, dv=48, seed=0):
     from llm_quest_tpu.ops.gdn import l2_norm_clamp
@@ -35,8 +39,8 @@ def test_matches_chunked_oracle():
     q, k, v, beta, alpha, s0 = _inputs()
     out_ref, st_ref = gated_delta_rule_chunked(q, k, v, beta, alpha, s0, chunk_size=64)
     out_p, st_p = gated_delta_rule_pallas(q, k, v, beta, alpha, s0, 64, INTERPRET)
-    assert float(jnp.max(jnp.abs(out_ref - out_p))) < 1e-5
-    assert float(jnp.max(jnp.abs(st_ref - st_p))) < 1e-5
+    assert float(jnp.max(jnp.abs(out_ref - out_p))) < TOL
+    assert float(jnp.max(jnp.abs(st_ref - st_p))) < TOL
 
 
 def test_no_prev_state_and_unpadded():
@@ -44,8 +48,8 @@ def test_no_prev_state_and_unpadded():
     zero = jnp.zeros((2, 3, 48, 32), jnp.float32)
     out_ref, st_ref = gated_delta_rule_chunked(q, k, v, beta, alpha, None, chunk_size=64)
     out_p, st_p = gated_delta_rule_pallas(q, k, v, beta, alpha, zero, 64, INTERPRET)
-    assert float(jnp.max(jnp.abs(out_ref - out_p))) < 1e-5
-    assert float(jnp.max(jnp.abs(st_ref - st_p))) < 1e-5
+    assert float(jnp.max(jnp.abs(out_ref - out_p))) < TOL
+    assert float(jnp.max(jnp.abs(st_ref - st_p))) < TOL
 
 
 @pytest.mark.slow
@@ -66,7 +70,7 @@ def test_gradients_match_chunked():
         q, k, v, beta, alpha, s0
     )
     for a, b in zip(gp, gc):
-        assert float(jnp.max(jnp.abs(a - b))) < 1e-5
+        assert float(jnp.max(jnp.abs(a - b))) < TOL
 
 
 def test_auto_dispatch_short_falls_back_to_scan():
@@ -75,5 +79,5 @@ def test_auto_dispatch_short_falls_back_to_scan():
     from llm_quest_tpu.ops.gdn import gated_delta_rule
 
     out_ref, st_ref = gated_delta_rule(q, k, v, beta, alpha, prev_state=s0)
-    assert float(jnp.max(jnp.abs(out - out_ref))) < 1e-5
-    assert float(jnp.max(jnp.abs(st - st_ref))) < 1e-5
+    assert float(jnp.max(jnp.abs(out - out_ref))) < TOL
+    assert float(jnp.max(jnp.abs(st - st_ref))) < TOL
