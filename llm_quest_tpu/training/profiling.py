@@ -62,3 +62,37 @@ class ThroughputMeter:
             "mem_gb_allocated": alloc,
             "mem_gb_limit": limit,
         }
+
+
+@contextlib.contextmanager
+def debug_checks(*, nans=True, infs=False, disable_jit=False):
+    """Numerics-debug mode — the TPU analogue of the reference's (absent)
+    sanitizer tier (SURVEY §5.2: under XLA the failure modes are silent NaN
+    propagation and donated-buffer aliasing, not data races).
+
+    Inside the context:
+    - ``jax_debug_nans`` / ``jax_debug_infs``: any op producing NaN/Inf
+      raises immediately with the offending primitive (re-runs the op
+      un-jitted to localize it);
+    - ``disable_jit=True`` additionally runs everything op-by-op for
+      printf-style debugging (orders of magnitude slower — small inputs only).
+
+    Donated-buffer hygiene needs no runtime flag: XLA already errors on reuse
+    of a donated argument, and the sharded train steps donate params/opt_state
+    explicitly (parallel/sharding.py).
+    """
+    ctxs = []
+    if nans:
+        ctxs.append(("jax_debug_nans", True))
+    if infs:
+        ctxs.append(("jax_debug_infs", True))
+    if disable_jit:
+        ctxs.append(("jax_disable_jit", True))
+    olds = [(name, getattr(jax.config, name)) for name, _ in ctxs]
+    try:
+        for name, val in ctxs:
+            jax.config.update(name, val)
+        yield
+    finally:
+        for name, old in olds:
+            jax.config.update(name, old)

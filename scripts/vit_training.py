@@ -6,6 +6,8 @@ Reference baseline to beat: 71.82% val accuracy @ 20 epochs (TinyViT 9.5M).
 """
 
 import jax
+import os
+
 import numpy as np
 
 from llm_quest_tpu import config
@@ -14,7 +16,7 @@ from llm_quest_tpu.models import vit
 from llm_quest_tpu.training.vit_engine import vit_training_eval_loop
 
 BATCH_SIZE = 128
-NUM_EPOCH = 20
+NUM_EPOCH = int(os.environ.get("VIT_EPOCHS", 20))  # 20 = the reference CIFAR run; set lower for smokes
 PEAK_LR = 3e-4
 
 

@@ -219,12 +219,13 @@ def test_fused_mha_short_seq():
     assert float(jnp.abs(ref_c - fused_mha(q, k, v, causal=True, interpret=INTERPRET)).max()) < TOL
 
 
-def test_packed_mha_matches_sdpa():
-    """Transpose-free packed-layout kernel vs split-heads sdpa (fp32 exact)."""
+@pytest.mark.parametrize("b,s,h,d", [(2, 197, 12, 64), (2, 65, 8, 32)])
+def test_packed_mha_matches_sdpa(b, s, h, d):
+    """Transpose-free packed-layout kernel vs split-heads sdpa (fp32 exact);
+    covers ViT-B (d=64) and TinyViT (d=32, 4 heads per 128-lane slab)."""
     from llm_quest_tpu.kernels.fused_mha import packed_mha
     from llm_quest_tpu.ops.attention import merge_heads, split_heads
 
-    b, s, h, d = 2, 197, 12, 64
     q, k, v = (jax.random.normal(kk, (b, s, h * d), jnp.float32)
                for kk in jax.random.split(jax.random.PRNGKey(5), 3))
     ref = merge_heads(sdpa(split_heads(q, h), split_heads(k, h), split_heads(v, h)))

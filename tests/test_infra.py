@@ -147,3 +147,16 @@ def test_multimodal_batches():
     assert batches[0]["image"].shape == (2, 3, 8, 8)
     assert batches[0]["input_ids"].shape[0] == 2
     assert batches[0]["attention_mask"].dtype == bool
+
+
+def test_debug_checks_catches_nans_and_restores_flags():
+    import jax
+    import jax.numpy as jnp
+    import pytest as _pytest
+
+    from llm_quest_tpu.training.profiling import debug_checks
+
+    with debug_checks():
+        with _pytest.raises(FloatingPointError):
+            jax.jit(lambda x: jnp.log(x))(jnp.float32(-1.0)).block_until_ready()
+    assert jax.config.jax_debug_nans is False
