@@ -345,15 +345,28 @@ def rpt_structured_dataset(
     labels_length=25,
     instruction=None,
     valid_indices=None,
+    apply_chat_template=False,
     truncate_sample=None,
     min_context_tokens=None,
 ):
     """RPT (context, labels-string) pairs at every valid token position
     (reference: dataset.py:522-732). entries: list of {"question","answer"}
     GSM8K dicts. Returns a lazy index-based dataset as (samples, allowed,
-    getter) — call getter(i) → {"prompt": ids, "labels": str}."""
+    getter) — call getter(i) → {"prompt": ids, "labels": str}.
+
+    apply_chat_template=True tokenizes the instruction through the HF chat
+    template with a generation prompt (the reference's Qwen3 RPT variant,
+    dataset.py:646-658 / rpt_training_qwen3.py); the raw context ids are
+    appended after it, matching the reference layout."""
     instruction = instruction if instruction is not None else RPT_DEFAULT_INSTRUCTION
-    instr_ids = tokenizer.encode(instruction)
+    if apply_chat_template:
+        out = tokenizer.apply_chat_template(
+            [{"role": "user", "content": instruction}],
+            tokenize=True, add_generation_prompt=True, enable_thinking=True,
+        )
+        instr_ids = out["input_ids"] if hasattr(out, "keys") and "input_ids" in out else out
+    else:
+        instr_ids = tokenizer.encode(instruction)
     available = max_context_length - len(instr_ids)
 
     samples = []

@@ -160,3 +160,28 @@ def test_debug_checks_catches_nans_and_restores_flags():
         with _pytest.raises(FloatingPointError):
             jax.jit(lambda x: jnp.log(x))(jnp.float32(-1.0)).block_until_ready()
     assert jax.config.jax_debug_nans is False
+
+
+def test_rpt_dataset_chat_template():
+    from llm_quest_tpu.data.datasets import rpt_structured_dataset
+
+    class ChatTok:
+        def encode(self, t):
+            return [ord(c) % 97 for c in t][:50]
+
+        def decode(self, ids):
+            return "".join(chr(97 + int(i) % 26) for i in ids)
+
+        def apply_chat_template(self, messages, *, tokenize, add_generation_prompt, enable_thinking):
+            assert messages[0]["role"] == "user" and tokenize and add_generation_prompt
+            return [1, 2] + self.encode(messages[0]["content"]) + [3]  # wrapped
+
+    entries = [{"question": "Count 1 2 3 4 5 6 7 8", "answer": "nine\n#### 9"}]
+    tok = ChatTok()
+    _, allowed, getter = rpt_structured_dataset(
+        entries, tok, 64, labels_length=4, apply_chat_template=True, min_context_tokens=2
+    )
+    item = getter(0)
+    # chat-wrapped instruction ids prefix the prompt
+    assert item["prompt"][:2] == [1, 2]
+    assert isinstance(item["labels"], str)
