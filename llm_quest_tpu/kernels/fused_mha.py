@@ -104,16 +104,13 @@ def _fused_mha_fwd_impl(q, k, v, *, causal=False, scale=None, group=None, interp
 
 
 def _sdpa_ref(q, k, v, causal, scale):
-    """XLA reference attention for the recompute backward (kept local to
-    avoid a circular import with ops.attention)."""
-    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32) * scale
-    if causal:
-        s = q.shape[2]
-        col = lax.broadcasted_iota(jnp.int32, (s, s), 1)
-        row = lax.broadcasted_iota(jnp.int32, (s, s), 0)
-        scores = jnp.where((col > row)[None, None], NEG_INF, scores)
-    w = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
-    return jnp.einsum("bhqk,bhkd->bhqd", w, v, preferred_element_type=jnp.float32).astype(q.dtype)
+    """The ops.attention.sdpa oracle for the recompute backward (no import
+    cycle: ops.attention only imports this module lazily inside functions)."""
+    from llm_quest_tpu.ops.attention import sdpa
+    from llm_quest_tpu.ops.masks import causal_mask
+
+    mask = causal_mask(q.shape[2]) if causal else None
+    return sdpa(q, k, v, mask=mask, scale=scale)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))

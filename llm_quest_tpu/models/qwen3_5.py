@@ -596,17 +596,10 @@ def apply(params, cfg, input_ids, *, image_pixels=None, attn_mask=None, cache=No
 
 
 # whole-generation jit cache for generate_multimodal: one compiled program per
-# (cfg, shapes, sampler flags) — same trick as inference/generate.py. Without
-# it the prefill dispatches op-by-op (catastrophic over remote transports).
+# (cfg, shapes, sampler flags) — same trick (and freeze helper) as
+# inference/generate.py. Without it the prefill dispatches op-by-op
+# (catastrophic over remote transports).
 _MM_JIT_CACHE = {}
-
-
-def _freeze_cfg(obj):
-    if isinstance(obj, dict):
-        return tuple(sorted((k, _freeze_cfg(v)) for k, v in obj.items()))
-    if isinstance(obj, (list, tuple)):
-        return tuple(_freeze_cfg(v) for v in obj)
-    return obj
 
 
 def generate_multimodal(
@@ -622,6 +615,8 @@ def generate_multimodal(
     input_ids: (b, s) prompt with image placeholders already expanded.
     Returns dict {"sequences": (b, s+max_gen)}.
     """
+    from llm_quest_tpu.inference.generate import _freeze
+
     b, prompt_len = input_ids.shape
     if rng is None:
         rng = jax.random.PRNGKey(0)
@@ -632,7 +627,7 @@ def generate_multimodal(
     prompt_pos = jnp.asarray(compute_3d_position_ids(cfg, ids_np, feeds))  # (3, b, s)
 
     key = (
-        _freeze_cfg(cfg), ids_np.shape, None if image_pixels is None else tuple(image_pixels.shape),
+        _freeze(cfg), ids_np.shape, None if image_pixels is None else tuple(image_pixels.shape),
         max_gen, temp, top_k, top_p, min_p, tuple(eos_list), pad_id,
     )
     fn = _MM_JIT_CACHE.get(key)
