@@ -209,3 +209,38 @@ class TestSampling:
         probs = jnp.asarray([[0.4, 0.3, 0.2, 0.1]])
         out = np.asarray(top_p_filter(probs, 0.99, top_k=2))
         assert (out > 0).sum() == 2
+
+
+def test_rope_apply_packed_matches_apply():
+    """Packed-layout RoPE (b, s, h, d) == transposed apply on (b, h, s, d)."""
+    import jax
+    import jax.numpy as jnp
+
+    from llm_quest_tpu.ops import rope
+
+    b, h, s, d = 2, 3, 10, 16
+    cos, sin = rope.compute_angles(10_000, d, 32)
+    x = jax.random.normal(jax.random.PRNGKey(0), (b, h, s, d))
+    ref = rope.apply(x, cos, sin)
+    packed = rope.apply_packed(x.transpose(0, 2, 1, 3), cos, sin).transpose(0, 2, 1, 3)
+    assert float(jnp.max(jnp.abs(ref - packed))) < 1e-6
+
+    # partial rotation passes the tail features through unchanged
+    cos_p, sin_p = rope.compute_angles(10_000, d // 2, 32)
+    ref_p = rope.apply(x, cos_p, sin_p)
+    packed_p = rope.apply_packed(x.transpose(0, 2, 1, 3), cos_p, sin_p).transpose(0, 2, 1, 3)
+    assert float(jnp.max(jnp.abs(ref_p - packed_p))) < 1e-6
+
+
+def test_mha_packed_fallback_matches_sdpa():
+    """On non-TPU backends mha_packed must fall back to split-heads sdpa."""
+    import jax
+    import jax.numpy as jnp
+
+    from llm_quest_tpu.ops.attention import merge_heads, mha_packed, sdpa, split_heads
+
+    b, s, h, d = 2, 33, 4, 16  # hd=64 not 128-divisible → fallback everywhere
+    q, k, v = (jax.random.normal(kk, (b, s, h * d)) for kk in jax.random.split(jax.random.PRNGKey(1), 3))
+    out = mha_packed(q, k, v, h)
+    ref = merge_heads(sdpa(split_heads(q, h), split_heads(k, h), split_heads(v, h)))
+    assert float(jnp.max(jnp.abs(out - ref))) < 1e-6
