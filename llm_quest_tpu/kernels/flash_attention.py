@@ -565,3 +565,27 @@ def flash_attention(
     return _flash_core(q, k, v, attn_mask, sink,
                        causal, window_size, float(scale), softcap,
                        block_q, block_k, interpret)
+
+
+def flash_attention_with_lse(
+    q, k, v, *, causal=False, scale=None, block_q=256, block_k=512, interpret=False
+):
+    """Forward-only flash attention that ALSO returns the per-row logsumexp.
+
+    Returns (out (b, h, s, dv), lse (b, h, s) fp32). The lse makes partial
+    attention results exactly combinable across KV shards:
+        lse_tot = logaddexp(lse_a, lse_b)
+        out_tot = out_a·exp(lse_a − lse_tot) + out_b·exp(lse_b − lse_tot)
+    — the block-combination rule ring attention needs (parallel/sequence.py).
+    """
+    b, hq, sq, _ = q.shape
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    block_q = min(block_q, _ceil_to(sq, 128))
+    block_k = min(block_k, _ceil_to(k.shape[2], 128))
+    out, (lse3, _) = _fwd(
+        q, k, v, None, None, causal=causal, window_size=None, scale=float(scale),
+        softcap=None, block_q=block_q, block_k=block_k, interpret=interpret,
+    )
+    lse = lse3[:, :sq, 0].reshape(b, hq, sq)
+    return out, lse

@@ -5,8 +5,10 @@ algorithmically, never across devices). This is the all-gather-KV form
 (Ulysses-lite): queries stay sequence-sharded — each device computes
 attention for its own s/n_dev query slice — while keys/values are
 all-gathered over the ``seq`` axis. Activation memory for q/scores scales
-1/n_dev; KV is replicated per step (the ring-attention upgrade streams KV
-chunks via ppermute instead — same interface, future kernel).
+1/n_dev; KV is replicated per step. ``ring_attention`` streams KV chunks
+via ppermute instead (1/n_dev KV memory too), and ``ring_flash_attention``
+additionally runs each shard's contribution through the flash kernel with
+exact logsumexp block combination — no materialized scores anywhere.
 
 Causality is preserved with absolute positions: device i's queries occupy
 positions [i·s_loc, (i+1)·s_loc).
@@ -115,5 +117,80 @@ def ring_attention(mesh, axis, q, k, v, *, causal=True, scale=None):
 
         (m, l, acc, _, _), _ = lax.scan(step, (m, l, acc, k_loc, v_loc), jnp.arange(n_dev))
         return (acc / jnp.maximum(l, 1e-30)).astype(q_loc.dtype)
+
+    return run(q, k, v)
+
+
+def ring_flash_attention(mesh, axis, q, k, v, *, causal=True, scale=None, interpret=False):
+    """Ring attention with PER-SHARD FLASH KERNELS: KV blocks stream around
+    the ring via ppermute (issued before the block's math so XLA overlaps the
+    ICI transfer with compute) while each shard's contribution is computed by
+    the blockwise flash kernel — no (s_loc, s_loc) score tensor is ever
+    materialized, unlike ``ring_attention`` above (kept as the XLA oracle).
+
+    Blocks combine exactly through the returned logsumexp:
+        lse = logaddexp(lse_acc, lse_blk)
+        out = out_acc·exp(lse_acc − lse) + out_blk·exp(lse_blk − lse)
+    Causality by block position: past blocks attend fully, the diagonal block
+    runs the causal kernel, future blocks are discarded via lse = −inf.
+
+    q/k/v: (b, h, s, d) global arrays sharded along s over ``axis``.
+    Returns (b, h, s, d) sequence-sharded output.
+    """
+    from llm_quest_tpu.kernels.flash_attention import flash_attention_with_lse
+
+    n_dev = mesh.shape[axis]
+    s = q.shape[2]
+    assert s % n_dev == 0
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(None, None, axis, None),) * 3,
+        out_specs=P(None, None, axis, None),
+        check_rep=False,
+    )
+    def run(q_loc, k_loc, v_loc):
+        idx = lax.axis_index(axis)
+        b, h, s_loc, dv = q_loc.shape
+
+        out0 = jnp.zeros((b, h, s_loc, dv), jnp.float32)
+        lse0 = jnp.full((b, h, s_loc), -jnp.inf, jnp.float32)
+
+        def step(carry, t):
+            out_acc, lse_acc, k_blk, v_blk = carry
+            src = (idx - t) % n_dev  # whose KV chunk we hold this step
+
+            # transfer first — overlaps with the flash compute below
+            k_nxt = lax.ppermute(k_blk, axis, perm)
+            v_nxt = lax.ppermute(v_blk, axis, perm)
+
+            if causal:
+                out_blk, lse_blk = lax.cond(
+                    src == idx,
+                    lambda: flash_attention_with_lse(
+                        q_loc, k_blk, v_blk, causal=True, scale=scale, interpret=interpret
+                    ),
+                    lambda: flash_attention_with_lse(
+                        q_loc, k_blk, v_blk, causal=False, scale=scale, interpret=interpret
+                    ),
+                )
+                lse_blk = jnp.where(src > idx, -jnp.inf, lse_blk)  # future shard
+            else:
+                out_blk, lse_blk = flash_attention_with_lse(
+                    q_loc, k_blk, v_blk, causal=False, scale=scale, interpret=interpret
+                )
+
+            lse_new = jnp.logaddexp(lse_acc, lse_blk)
+            w_acc = jnp.exp(lse_acc - lse_new)[..., None]
+            w_blk = jnp.exp(lse_blk - lse_new)[..., None]
+            out_new = out_acc * w_acc + out_blk.astype(jnp.float32) * w_blk
+            return (out_new, lse_new, k_nxt, v_nxt), None
+
+        (out, _, _, _), _ = lax.scan(step, (out0, lse0, k_loc, v_loc), jnp.arange(n_dev))
+        return out.astype(q_loc.dtype)
 
     return run(q, k, v)

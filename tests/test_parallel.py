@@ -199,3 +199,25 @@ def test_sharded_decode_matches_single_device(mesh8):
             qwen3, sharded_params, cfg, batch["ids"], mask, max_gen=6, temp=0.0, eos_ids=-1, pad_id=0
         )
     assert ref["sequences"].tolist() == out["sequences"].tolist()
+
+
+@pytest.mark.slow
+def test_ring_flash_attention_matches_single_device():
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    from llm_quest_tpu.parallel.mesh import create_mesh
+    from llm_quest_tpu.parallel.sequence import ring_flash_attention
+    from llm_quest_tpu.ops.attention import sdpa
+    from llm_quest_tpu.ops.masks import causal_mask
+
+    mesh = create_mesh(8, model_parallel=1)
+    b, h, s, d = 1, 2, 8 * 40, 32
+    q, k, v = (jax.random.normal(kk, (b, h, s, d)) for kk in jax.random.split(jax.random.PRNGKey(3), 3))
+
+    out = ring_flash_attention(mesh, "data", q, k, v, causal=True, interpret=True)
+    ref = sdpa(q, k, v, mask=causal_mask(s))
+    assert float(jnp.max(jnp.abs(out - ref))) < 5e-5
+
+    out_b = ring_flash_attention(mesh, "data", q, k, v, causal=False, interpret=True)
+    ref_b = sdpa(q, k, v)
+    assert float(jnp.max(jnp.abs(out_b - ref_b))) < 5e-5
