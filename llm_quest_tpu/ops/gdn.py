@@ -120,7 +120,10 @@ def gated_delta_rule_auto(q, k, v, beta, alpha, prev_state=None, *, chunk_size=6
 
             if prev_state is None:
                 prev_state = jnp.zeros((*v.shape[:2], v.shape[-1], k.shape[-1]), jnp.float32)
-            return gated_delta_rule_pallas(q, k, v, beta, alpha, prev_state, chunk_size)
+            # the fused kernel prefers LARGER chunks than the XLA form: c=128
+            # gives full-depth 128-lane Newton–Schulz matmuls and half the
+            # sequential grid steps (measured 2.21 vs 2.62 ms at c=64 on v5e)
+            return gated_delta_rule_pallas(q, k, v, beta, alpha, prev_state, max(chunk_size, 128))
         return gated_delta_rule_chunked(q, k, v, beta, alpha, prev_state=prev_state, chunk_size=chunk_size)
     return gated_delta_rule(q, k, v, beta, alpha, prev_state=prev_state)
 
