@@ -268,7 +268,9 @@ def fused_gdn(params, cfg, x, attn_mask_cur, gdn_state):
     prev = gdn_state["recurrent"] if gdn_state is not None else None
     ctx, final_state = gdn_ops.gated_delta_rule_auto(
         q, k, v, beta, alpha, prev_state=prev,
-        chunk_size=cfg.get("gdn_chunk_size", 64), use_kernel=cfg.get("use_gdn_kernel", True),
+        chunk_size=cfg.get("gdn_chunk_size", 64),
+        kernel_chunk_size=cfg.get("gdn_kernel_chunk_size", 128),
+        use_kernel=cfg.get("use_gdn_kernel", True),
     )
 
     out = _gdn_output(params, cfg, x, ctx)

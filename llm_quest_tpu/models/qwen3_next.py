@@ -176,7 +176,9 @@ def gated_delta_net(params, cfg, x, attn_mask_cur, gdn_state):
     # MXU matmuls instead of an s-step recurrence); short ones → scan
     ctx, final_state = gdn_ops.gated_delta_rule_auto(
         q, k, v, beta, alpha, prev_state=prev,
-        chunk_size=cfg.get("gdn_chunk_size", 64), use_kernel=cfg.get("use_gdn_kernel", True),
+        chunk_size=cfg.get("gdn_chunk_size", 64),
+        kernel_chunk_size=cfg.get("gdn_kernel_chunk_size", 128),
+        use_kernel=cfg.get("use_gdn_kernel", True),
     )
 
     out = _gdn_output(params, cfg, x, ctx)

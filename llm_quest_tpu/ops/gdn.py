@@ -105,13 +105,21 @@ def gated_delta_rule_step(q_t, k_t, v_t, beta_t, alpha_t, state):
     return out.astype(q_t.dtype), state
 
 
-def gated_delta_rule_auto(q, k, v, beta, alpha, prev_state=None, *, chunk_size=64, use_kernel=True):
+def gated_delta_rule_auto(
+    q, k, v, beta, alpha, prev_state=None, *, chunk_size=64, kernel_chunk_size=128, use_kernel=True
+):
     """Dispatch the gated delta rule to the best implementation:
 
     - sequences ≥ 2 chunks on TPU → the fused Pallas kernel
       (kernels/gdn_pallas.py — state resident in VMEM across chunks)
     - sequences ≥ 2 chunks elsewhere → the chunked XLA form
     - short sequences → the lax.scan recurrence
+
+    ``chunk_size`` governs the XLA chunked form; the kernel has its own
+    ``kernel_chunk_size`` (default 128: full-depth 128-lane Newton–Schulz
+    matmuls and half the sequential grid steps — 2.21 vs 2.62 ms at c=64 on
+    v5e at gb=16, measured fitting VMEM) so a model's gdn_chunk_size doesn't
+    silently change the kernel's calibrated tiling, and vice versa.
     """
     s = q.shape[2]
     if s >= 2 * min(chunk_size, s):
@@ -120,10 +128,7 @@ def gated_delta_rule_auto(q, k, v, beta, alpha, prev_state=None, *, chunk_size=6
 
             if prev_state is None:
                 prev_state = jnp.zeros((*v.shape[:2], v.shape[-1], k.shape[-1]), jnp.float32)
-            # the fused kernel prefers LARGER chunks than the XLA form: c=128
-            # gives full-depth 128-lane Newton–Schulz matmuls and half the
-            # sequential grid steps (measured 2.21 vs 2.62 ms at c=64 on v5e)
-            return gated_delta_rule_pallas(q, k, v, beta, alpha, prev_state, max(chunk_size, 128))
+            return gated_delta_rule_pallas(q, k, v, beta, alpha, prev_state, kernel_chunk_size)
         return gated_delta_rule_chunked(q, k, v, beta, alpha, prev_state=prev_state, chunk_size=chunk_size)
     return gated_delta_rule(q, k, v, beta, alpha, prev_state=prev_state)
 

@@ -87,18 +87,9 @@ def ring_attention(mesh, axis, q, k, v, *, causal=True, scale=None):
         l = jnp.zeros((b, h, s_loc, 1), jnp.float32)
         acc = jnp.zeros((b, h, s_loc, q32.shape[-1]), jnp.float32)
 
-        def step(carry, t):
-            m, l, acc, k_blk, v_blk = carry
+        def block_update(m, l, acc, k_blk, v_blk, t):
             src = (idx - t) % n_dev  # which device's chunk we hold this step
             k_pos = src * s_loc + jnp.arange(s_loc)
-
-            # issue the ring transfer FIRST: the collective-permute has no
-            # dependency on this step's math, so XLA's latency-hiding
-            # scheduler overlaps the ICI transfer with the attention compute
-            # (permute-after-compute serializes them)
-            k_nxt = lax.ppermute(k_blk, axis, perm)
-            v_nxt = lax.ppermute(v_blk, axis, perm)
-
             scores = jnp.einsum(
                 "bhqd,bhkd->bhqk", q32, k_blk.astype(jnp.float32), preferred_element_type=jnp.float32
             )
@@ -112,10 +103,24 @@ def ring_attention(mesh, axis, q, k, v, *, causal=True, scale=None):
             acc = acc * alpha_corr + jnp.einsum(
                 "bhqk,bhkd->bhqd", p, v_blk.astype(jnp.float32), preferred_element_type=jnp.float32
             )
+            return m_new, l, acc
 
-            return (m_new, l, acc, k_nxt, v_nxt), None
+        def step(carry, t):
+            m, l, acc, k_blk, v_blk = carry
+            # issue the ring transfer FIRST: the collective-permute has no
+            # dependency on this step's math, so XLA's latency-hiding
+            # scheduler overlaps the ICI transfer with the attention compute
+            # (permute-after-compute serializes them)
+            k_nxt = lax.ppermute(k_blk, axis, perm)
+            v_nxt = lax.ppermute(v_blk, axis, perm)
+            m, l, acc = block_update(m, l, acc, k_blk, v_blk, t)
+            return (m, l, acc, k_nxt, v_nxt), None
 
-        (m, l, acc, _, _), _ = lax.scan(step, (m, l, acc, k_loc, v_loc), jnp.arange(n_dev))
+        # n_dev−1 steps WITH transfer; the final held block needs no ppermute
+        (m, l, acc, k_last, v_last), _ = lax.scan(
+            step, (m, l, acc, k_loc, v_loc), jnp.arange(n_dev - 1)
+        )
+        m, l, acc = block_update(m, l, acc, k_last, v_last, jnp.int32(n_dev - 1))
         return (acc / jnp.maximum(l, 1e-30)).astype(q_loc.dtype)
 
     return run(q, k, v)
@@ -126,16 +131,22 @@ def ring_flash_attention(mesh, axis, q, k, v, *, causal=True, scale=None, interp
     the ring via ppermute (issued before the block's math so XLA overlaps the
     ICI transfer with compute) while each shard's contribution is computed by
     the blockwise flash kernel — no (s_loc, s_loc) score tensor is ever
-    materialized, unlike ``ring_attention`` above (kept as the XLA oracle).
+    materialized, unlike ``ring_attention`` above.
 
     Blocks combine exactly through the returned logsumexp:
         lse = logaddexp(lse_acc, lse_blk)
         out = out_acc·exp(lse_acc − lse) + out_blk·exp(lse_blk − lse)
     Causality by block position: past blocks attend fully, the diagonal block
-    runs the causal kernel, future blocks are discarded via lse = −inf.
+    runs the causal kernel, FUTURE blocks skip the kernel entirely (a cond
+    branch returns (0, −inf) — no wasted launches). The scan runs n_dev−1
+    transfer steps; the final held block is combined without a dead ppermute.
 
-    q/k/v: (b, h, s, d) global arrays sharded along s over ``axis``.
-    Returns (b, h, s, d) sequence-sharded output.
+    FORWARD-ONLY: the lse output bypasses the flash custom_vjp, so use the
+    differentiable XLA ``ring_attention`` for sequence-parallel TRAINING and
+    this one for long-context inference/prefill.
+
+    q/k/v: (b, h, s, d) / (b, h, s, dv) global arrays sharded along s over
+    ``axis``. Returns (b, h, s, dv) sequence-sharded output.
     """
     from llm_quest_tpu.kernels.flash_attention import flash_attention_with_lse
 
@@ -155,42 +166,65 @@ def ring_flash_attention(mesh, axis, q, k, v, *, causal=True, scale=None, interp
     )
     def run(q_loc, k_loc, v_loc):
         idx = lax.axis_index(axis)
-        b, h, s_loc, dv = q_loc.shape
+        b, h, s_loc, _ = q_loc.shape
+        dv = v_loc.shape[3]
+
+        def block(k_blk, v_blk, t):
+            """(out_blk fp32 (b,h,s_loc,dv), lse_blk fp32) for the chunk held
+            at ring step t — skipping the kernel for future chunks."""
+            src = (idx - t) % n_dev
+
+            def skip():
+                return (
+                    jnp.zeros((b, h, s_loc, dv), jnp.float32),
+                    jnp.full((b, h, s_loc), -jnp.inf, jnp.float32),
+                )
+
+            def compute():
+                if causal:
+                    o, l = lax.cond(
+                        src == idx,
+                        lambda: flash_attention_with_lse(
+                            q_loc, k_blk, v_blk, causal=True, scale=scale, interpret=interpret
+                        ),
+                        lambda: flash_attention_with_lse(
+                            q_loc, k_blk, v_blk, causal=False, scale=scale, interpret=interpret
+                        ),
+                    )
+                else:
+                    o, l = flash_attention_with_lse(
+                        q_loc, k_blk, v_blk, causal=False, scale=scale, interpret=interpret
+                    )
+                return o.astype(jnp.float32), l
+
+            if not causal:
+                return compute()
+            return lax.cond(src > idx, skip, compute)
+
+        def combine(out_acc, lse_acc, out_blk, lse_blk):
+            lse_new = jnp.logaddexp(lse_acc, lse_blk)
+            w_acc = jnp.exp(lse_acc - lse_new)[..., None]
+            w_blk = jnp.exp(lse_blk - lse_new)[..., None]
+            return out_acc * w_acc + out_blk * w_blk, lse_new
 
         out0 = jnp.zeros((b, h, s_loc, dv), jnp.float32)
         lse0 = jnp.full((b, h, s_loc), -jnp.inf, jnp.float32)
 
         def step(carry, t):
             out_acc, lse_acc, k_blk, v_blk = carry
-            src = (idx - t) % n_dev  # whose KV chunk we hold this step
-
             # transfer first — overlaps with the flash compute below
             k_nxt = lax.ppermute(k_blk, axis, perm)
             v_nxt = lax.ppermute(v_blk, axis, perm)
+            out_blk, lse_blk = block(k_blk, v_blk, t)
+            out_acc, lse_acc = combine(out_acc, lse_acc, out_blk, lse_blk)
+            return (out_acc, lse_acc, k_nxt, v_nxt), None
 
-            if causal:
-                out_blk, lse_blk = lax.cond(
-                    src == idx,
-                    lambda: flash_attention_with_lse(
-                        q_loc, k_blk, v_blk, causal=True, scale=scale, interpret=interpret
-                    ),
-                    lambda: flash_attention_with_lse(
-                        q_loc, k_blk, v_blk, causal=False, scale=scale, interpret=interpret
-                    ),
-                )
-                lse_blk = jnp.where(src > idx, -jnp.inf, lse_blk)  # future shard
-            else:
-                out_blk, lse_blk = flash_attention_with_lse(
-                    q_loc, k_blk, v_blk, causal=False, scale=scale, interpret=interpret
-                )
-
-            lse_new = jnp.logaddexp(lse_acc, lse_blk)
-            w_acc = jnp.exp(lse_acc - lse_new)[..., None]
-            w_blk = jnp.exp(lse_blk - lse_new)[..., None]
-            out_new = out_acc * w_acc + out_blk.astype(jnp.float32) * w_blk
-            return (out_new, lse_new, k_nxt, v_nxt), None
-
-        (out, _, _, _), _ = lax.scan(step, (out0, lse0, k_loc, v_loc), jnp.arange(n_dev))
+        # n_dev−1 steps WITH transfer, then the final held block without one
+        (out, lse, k_last, v_last), _ = lax.scan(
+            step, (out0, lse0, k_loc, v_loc), jnp.arange(n_dev - 1)
+        )
+        out_blk, lse_blk = block(k_last, v_last, jnp.int32(n_dev - 1))
+        out, _ = combine(out, lse, out_blk, lse_blk)
         return out.astype(q_loc.dtype)
 
     return run(q, k, v)

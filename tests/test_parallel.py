@@ -221,3 +221,9 @@ def test_ring_flash_attention_matches_single_device():
     out_b = ring_flash_attention(mesh, "data", q, k, v, causal=False, interpret=True)
     ref_b = sdpa(q, k, v)
     assert float(jnp.max(jnp.abs(out_b - ref_b))) < 5e-5
+
+    # dv != d (MLA-style value dim)
+    v2 = jax.random.normal(jax.random.PRNGKey(4), (b, h, s, 48))
+    out_v = ring_flash_attention(mesh, "data", q, k, v2, causal=True, interpret=True)
+    ref_v = sdpa(q, k, v2, mask=causal_mask(s))
+    assert float(jnp.max(jnp.abs(out_v - ref_v))) < 5e-5
