@@ -373,15 +373,19 @@ def _fwd(q, k, v, attn_mask, sink, *, causal, window_size, scale, softcap,
 
 
 def _bwd(q, k, v, attn_mask, sink, o, lse3, g, *, causal, window_size, scale,
-         softcap, block_q, block_k, interpret):
+         softcap, block_q, block_k, interpret, delta_shift=None):
     q3, k3, v3, bias, dims = _prepare(q, k, v, attn_mask, block_q, block_k)
     b, hq, hkv, sq, sk, d, dv, sq_p, sk_p, d_p, dv_p = dims
     group = hq // hkv
     nq, nk = sq_p // block_q, sk_p // block_k
 
     do = _pad_seq(_pad_seq(g, sq_p, 2), dv_p, 3).reshape(b * hq, sq_p, dv_p)
-    # delta = rowsum(dO ⊙ O); padded rows are zero
+    # delta = rowsum(dO ⊙ O); padded rows are zero. A logsumexp cotangent
+    # g_lse folds in exactly as a delta shift: d lse/d s_ij = p_ij, so
+    # ds = p·(dp − (δ − g_lse)).
     delta = jnp.sum(g.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
+    if delta_shift is not None:
+        delta = delta - delta_shift.astype(jnp.float32)
     delta = _pad_seq(delta.reshape(b * hq, sq), sq_p, 1)
     delta3 = jnp.broadcast_to(delta[..., None], (b * hq, sq_p, LANE))
     lse_b = jnp.broadcast_to(lse3, (b * hq, sq_p, LANE))
@@ -567,25 +571,56 @@ def flash_attention(
                        block_q, block_k, interpret)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _flash_lse_core(q, k, v, causal, scale, block_q, block_k, interpret):
+    out, (lse3, _) = _fwd(
+        q, k, v, None, None, causal=causal, window_size=None, scale=scale,
+        softcap=None, block_q=block_q, block_k=block_k, interpret=interpret,
+    )
+    b, hq, sq, _ = q.shape
+    return out, lse3[:, :sq, 0].reshape(b, hq, sq)
+
+
+def _flash_lse_fwd(q, k, v, causal, scale, block_q, block_k, interpret):
+    out, (lse3, _) = _fwd(
+        q, k, v, None, None, causal=causal, window_size=None, scale=scale,
+        softcap=None, block_q=block_q, block_k=block_k, interpret=interpret,
+    )
+    b, hq, sq, _ = q.shape
+    lse = lse3[:, :sq, 0].reshape(b, hq, sq)
+    return (out, lse), (q, k, v, out, lse3)
+
+
+def _flash_lse_bwd(causal, scale, block_q, block_k, interpret, residuals, cts):
+    q, k, v, out, lse3 = residuals
+    g_out, g_lse = cts
+    dq, dk, dv, _ = _bwd(
+        q, k, v, None, None, out, lse3, g_out,
+        causal=causal, window_size=None, scale=scale, softcap=None,
+        block_q=block_q, block_k=block_k, interpret=interpret, delta_shift=g_lse,
+    )
+    return dq, dk, dv
+
+
+_flash_lse_core.defvjp(_flash_lse_fwd, _flash_lse_bwd)
+
+
 def flash_attention_with_lse(
     q, k, v, *, causal=False, scale=None, block_q=256, block_k=512, interpret=False
 ):
-    """Forward-only flash attention that ALSO returns the per-row logsumexp.
+    """Flash attention that ALSO returns the per-row logsumexp — DIFFERENTIABLE
+    through both outputs (the lse cotangent folds into the recompute backward
+    as a delta shift, since d lse/d s_ij = p_ij).
 
     Returns (out (b, h, s, dv), lse (b, h, s) fp32). The lse makes partial
     attention results exactly combinable across KV shards:
         lse_tot = logaddexp(lse_a, lse_b)
         out_tot = out_a·exp(lse_a − lse_tot) + out_b·exp(lse_b − lse_tot)
-    — the block-combination rule ring attention needs (parallel/sequence.py).
+    — the block-combination rule ring attention needs (parallel/sequence.py),
+    so sequence-parallel TRAINING can run through ring_flash_attention.
     """
-    b, hq, sq, _ = q.shape
     if scale is None:
         scale = q.shape[-1] ** -0.5
-    block_q = min(block_q, _ceil_to(sq, 128))
+    block_q = min(block_q, _ceil_to(q.shape[2], 128))
     block_k = min(block_k, _ceil_to(k.shape[2], 128))
-    out, (lse3, _) = _fwd(
-        q, k, v, None, None, causal=causal, window_size=None, scale=float(scale),
-        softcap=None, block_q=block_q, block_k=block_k, interpret=interpret,
-    )
-    lse = lse3[:, :sq, 0].reshape(b, hq, sq)
-    return out, lse
+    return _flash_lse_core(q, k, v, causal, float(scale), block_q, block_k, interpret)

@@ -141,9 +141,10 @@ def ring_flash_attention(mesh, axis, q, k, v, *, causal=True, scale=None, interp
     branch returns (0, −inf) — no wasted launches). The scan runs n_dev−1
     transfer steps; the final held block is combined without a dead ppermute.
 
-    FORWARD-ONLY: the lse output bypasses the flash custom_vjp, so use the
-    differentiable XLA ``ring_attention`` for sequence-parallel TRAINING and
-    this one for long-context inference/prefill.
+    Differentiable end-to-end: ``flash_attention_with_lse`` carries a
+    custom_vjp whose backward folds the lse cotangent into the recompute
+    kernels (d lse/d s = p), so sequence-parallel TRAINING can run through
+    this form directly.
 
     q/k/v: (b, h, s, d) / (b, h, s, dv) global arrays sharded along s over
     ``axis``. Returns (b, h, s, dv) sequence-sharded output.

@@ -227,3 +227,27 @@ def test_ring_flash_attention_matches_single_device():
     out_v = ring_flash_attention(mesh, "data", q, k, v2, causal=True, interpret=True)
     ref_v = sdpa(q, k, v2, mask=causal_mask(s))
     assert float(jnp.max(jnp.abs(out_v - ref_v))) < 5e-5
+
+
+@pytest.mark.slow
+def test_ring_flash_attention_gradients():
+    """Gradients through the ring-flash form match the XLA ring form."""
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    from llm_quest_tpu.parallel.mesh import create_mesh
+    from llm_quest_tpu.parallel.sequence import ring_attention, ring_flash_attention
+
+    mesh = create_mesh(8, model_parallel=1)
+    b, h, s, d = 1, 2, 8 * 24, 32
+    q, k, v = (jax.random.normal(kk, (b, h, s, d)) for kk in jax.random.split(jax.random.PRNGKey(7), 3))
+
+    gf = jax.grad(
+        lambda q, k, v: jnp.sum(jnp.sin(ring_flash_attention(mesh, "data", q, k, v, causal=True, interpret=True))),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    gr = jax.grad(
+        lambda q, k, v: jnp.sum(jnp.sin(ring_attention(mesh, "data", q, k, v, causal=True))),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    for a, b_ in zip(gf, gr):
+        assert float(jnp.max(jnp.abs(a - b_))) < 5e-5
