@@ -354,20 +354,25 @@ def rpt_structured_dataset(
     GSM8K dicts. Returns a lazy index-based dataset as (samples, allowed,
     getter) — call getter(i) → {"prompt": ids, "labels": str}.
 
-    apply_chat_template=True tokenizes the instruction through the HF chat
-    template with a generation prompt (the reference's Qwen3 RPT variant,
-    dataset.py:646-658 / rpt_training_qwen3.py); the raw context ids are
-    appended after it, matching the reference layout."""
+    apply_chat_template=True follows the reference's Qwen3 RPT variant
+    (dataset.py:646-658, 705-720 / rpt_training_qwen3.py): the context budget
+    is computed from the TEMPLATED instruction length, and each sample applies
+    the chat template to the COMBINED instruction+context string (context
+    stays inside the user turn, before the generation prompt)."""
     instruction = instruction if instruction is not None else RPT_DEFAULT_INSTRUCTION
     if apply_chat_template:
+        # templated-instruction length budgets the context window
+        # (reference dataset.py:648-658)
         out = tokenizer.apply_chat_template(
             [{"role": "user", "content": instruction}],
             tokenize=True, add_generation_prompt=True, enable_thinking=True,
         )
-        instr_ids = out["input_ids"] if hasattr(out, "keys") and "input_ids" in out else out
+        templated_len = len(out["input_ids"] if hasattr(out, "keys") and "input_ids" in out else out)
+        instr_ids = None
+        available = max_context_length - templated_len
     else:
         instr_ids = tokenizer.encode(instruction)
-    available = max_context_length - len(instr_ids)
+        available = max_context_length - len(instr_ids)
 
     samples = []
     for data in entries:
@@ -398,7 +403,17 @@ def rpt_structured_dataset(
         start_ctx = max(0, end_ctx - available)
         context_ids = samples[s_idx][start_ctx:end_ctx]
         labels_ids = samples[s_idx][end_ctx : end_ctx + labels_length]
-        return {"prompt": instr_ids + context_ids, "labels": tokenizer.decode(labels_ids)}
+        if apply_chat_template:
+            # template over instruction+context combined, so the context sits
+            # inside the user turn (reference dataset.py:705-720)
+            full_prompt = tokenizer.apply_chat_template(
+                [{"role": "user", "content": instruction + tokenizer.decode(context_ids)}],
+                tokenize=False, add_generation_prompt=True, enable_thinking=True,
+            )
+            prompt_ids = tokenizer.encode(full_prompt)
+        else:
+            prompt_ids = instr_ids + context_ids
+        return {"prompt": prompt_ids, "labels": tokenizer.decode(labels_ids)}
 
     return samples, allowed, getter
 

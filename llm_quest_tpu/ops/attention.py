@@ -115,6 +115,13 @@ def attention(
     Flash callers pass the STRUCTURED mask info (causal/window_size/attn_mask
     as a (b, sk) validity mask); ``mask`` is the dense boolean fallback for
     sdpa (kept so models build it once per forward).
+
+    INVARIANT (flash is opt-out on TPU): when both are given, ``mask`` must be
+    exactly the dense rendering of (causal, window_size, attn_mask) — the
+    flash kernel reads only the structured args and silently ignores ``mask``.
+    A dense mask with NO structured causal/window counterpart (causal=False,
+    no window) cannot be represented to the kernel, so that combination is
+    routed to sdpa here rather than mis-masked.
     """
     # fused short-seq kernel: whole (s, s) score tile in VMEM, one program
     # per group of (b·h) pairs — the ViT/vision-encoder hot path (measured
@@ -126,6 +133,7 @@ def attention(
         and cfg.get("use_fused_mha", True)
         and q.shape[1] == k.shape[1]
         and q.shape[2] == k.shape[2]
+        and v.shape[-1] == q.shape[-1]
         and 2 <= q.shape[2] <= cfg.get("fused_mha_max_seq", 512)
         and mask is None
         and attn_mask is None
@@ -150,6 +158,9 @@ def attention(
         and cfg.get("use_flash", flash_default)
         and q.shape[2] == k.shape[2]
         and q.shape[2] >= cfg.get("flash_min_seq", 256)
+        # a dense mask without any structured equivalent can't reach the
+        # kernel (flash ignores `mask`) — see the invariant in the docstring
+        and (mask is None or causal or window_size is not None)
     )
     if use_flash:
         from llm_quest_tpu.kernels.flash_attention import flash_attention

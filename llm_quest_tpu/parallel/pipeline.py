@@ -17,7 +17,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 from jax import lax
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import PartitionSpec as P
 
 
@@ -64,7 +64,7 @@ def pipeline_apply(mesh, axis, block_fn, stage_params, x, *, n_microbatches):
         mesh=mesh,
         in_specs=(P(axis), P()),
         out_specs=P(),
-        check_rep=False,
+        check_vma=False,
     )
     def run(stage_params_local, micro_all):
         stage_id = lax.axis_index(axis)

@@ -18,7 +18,7 @@ from functools import partial
 
 import jax.numpy as jnp
 from jax import lax
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import PartitionSpec as P
 
 from llm_quest_tpu.ops.attention import sdpa
@@ -39,7 +39,7 @@ def sequence_parallel_attention(mesh, axis, q, k, v, *, causal=True):
         mesh=mesh,
         in_specs=(P(None, None, axis, None),) * 3,
         out_specs=P(None, None, axis, None),
-        check_rep=False,
+        check_vma=False,
     )
     def run(q_loc, k_loc, v_loc):
         idx = lax.axis_index(axis)
@@ -75,7 +75,7 @@ def ring_attention(mesh, axis, q, k, v, *, causal=True, scale=None):
         mesh=mesh,
         in_specs=(P(None, None, axis, None),) * 3,
         out_specs=P(None, None, axis, None),
-        check_rep=False,
+        check_vma=False,
     )
     def run(q_loc, k_loc, v_loc):
         idx = lax.axis_index(axis)
@@ -163,7 +163,7 @@ def ring_flash_attention(mesh, axis, q, k, v, *, causal=True, scale=None, interp
         mesh=mesh,
         in_specs=(P(None, None, axis, None),) * 3,
         out_specs=P(None, None, axis, None),
-        check_rep=False,
+        check_vma=False,
     )
     def run(q_loc, k_loc, v_loc):
         idx = lax.axis_index(axis)

@@ -167,14 +167,17 @@ def test_rpt_dataset_chat_template():
 
     class ChatTok:
         def encode(self, t):
-            return [ord(c) % 97 for c in t][:50]
+            return [ord(c) % 97 for c in t][:80]
 
         def decode(self, ids):
             return "".join(chr(97 + int(i) % 26) for i in ids)
 
         def apply_chat_template(self, messages, *, tokenize, add_generation_prompt, enable_thinking):
-            assert messages[0]["role"] == "user" and tokenize and add_generation_prompt
-            return [1, 2] + self.encode(messages[0]["content"]) + [3]  # wrapped
+            assert messages[0]["role"] == "user" and add_generation_prompt
+            wrapped = "<u>" + messages[0]["content"] + "<g>"
+            if tokenize:
+                return [1, 2] + self.encode(messages[0]["content"]) + [3]
+            return wrapped  # string form: getter re-encodes the combined turn
 
     entries = [{"question": "Count 1 2 3 4 5 6 7 8", "answer": "nine\n#### 9"}]
     tok = ChatTok()
@@ -182,6 +185,19 @@ def test_rpt_dataset_chat_template():
         entries, tok, 64, labels_length=4, apply_chat_template=True, min_context_tokens=2
     )
     item = getter(0)
-    # chat-wrapped instruction ids prefix the prompt
-    assert item["prompt"][:2] == [1, 2]
+    # the template wraps instruction+context COMBINED (context inside the user
+    # turn, before the generation prompt — reference dataset.py:705-720), so
+    # the prompt is the encoding of "<u>" + instruction + context + "<g>"
+    assert item["prompt"][: len(tok.encode("<u>"))] == tok.encode("<u>")
+    s_idx, t_idx = allowed[0]
+    assert item["prompt"] == tok.encode("<u>" + _RPT_INSTR_PLUS_CTX(tok, entries, t_idx) + "<g>")[:80]
     assert isinstance(item["labels"], str)
+
+
+def _RPT_INSTR_PLUS_CTX(tok, entries, t_idx):
+    from llm_quest_tpu.data.datasets import RPT_DEFAULT_INSTRUCTION
+
+    solution, _, answer = entries[0]["answer"].rpartition("\n#### ")
+    full = entries[0]["question"] + "\n\n" + f"{solution} So the answer is <answer>{answer}</answer>"
+    ctx = tok.decode(tok.encode(full)[: t_idx + 1])
+    return RPT_DEFAULT_INSTRUCTION + ctx
