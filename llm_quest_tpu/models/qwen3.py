@@ -160,14 +160,33 @@ def apply(
             residual = h
             hn = rms_norm_torch_parity(block["pre_ffn_norm"], h)
             if is_moe:
-                ffn_out, moe_aux = moe_ops.qwen3_moe(
-                    block["moe"],
-                    hn,
-                    top_k=cfg["top_k"],
-                    load_coeff=cfg["aux_loss_coef"],
-                    gate_probas=layer_gate_probas,
-                    training=training,
-                )
+                ep = cfg.get("expert_parallel")
+                if ep is not None and layer_gate_probas is None:
+                    # explicit EP: all-to-all token dispatch over the mesh
+                    # (parallel/expert_parallel.py); routing replay stays on
+                    # the dense path (replayed probas are token-global)
+                    from llm_quest_tpu.parallel.expert_parallel import ep_qwen3_moe
+
+                    ffn_out, moe_aux = ep_qwen3_moe(
+                        ep["mesh"],
+                        block["moe"],
+                        hn,
+                        top_k=cfg["top_k"],
+                        load_coeff=cfg["aux_loss_coef"],
+                        capacity_factor=ep.get("capacity_factor"),
+                        ep_axis=ep.get("ep_axis", "model"),
+                        data_axis=ep.get("data_axis", "data"),
+                        training=training,
+                    )
+                else:
+                    ffn_out, moe_aux = moe_ops.qwen3_moe(
+                        block["moe"],
+                        hn,
+                        top_k=cfg["top_k"],
+                        load_coeff=cfg["aux_loss_coef"],
+                        gate_probas=layer_gate_probas,
+                        training=training,
+                    )
             else:
                 ffn_out, moe_aux = swiglu(block["ffn"], hn), {}
             h = residual + ffn_out

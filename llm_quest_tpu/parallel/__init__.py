@@ -12,6 +12,7 @@ Axes:
             shard over this axis.
 """
 
+from llm_quest_tpu.parallel.expert_parallel import capacity_for, ep_qwen3_moe
 from llm_quest_tpu.parallel.mesh import create_mesh, local_mesh_shape
 from llm_quest_tpu.parallel.sharding import (
     batch_sharding,
@@ -25,6 +26,8 @@ from llm_quest_tpu.parallel.sharding import (
 )
 
 __all__ = [
+    "capacity_for",
+    "ep_qwen3_moe",
     "create_mesh",
     "local_mesh_shape",
     "shard_params",
