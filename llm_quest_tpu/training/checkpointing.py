@@ -34,15 +34,42 @@ def save_checkpoint(path, params, *, opt_state=None, step=None, extra=None):
 
 
 def load_checkpoint(path, *, target=None):
-    """Load a train-state pytree. target: optional matching pytree of
-    ShapeDtypeStructs/arrays for sharded restore."""
-    restore_args = None
-    if target is not None:
-        import orbax.checkpoint as ocp
+    """Load a train-state pytree.
 
-        restore_args = ocp.args.PyTreeRestore(target)
-        del restore_args  # orbax API drift safety: fall through to raw restore
-    return _checkpointer().restore(os.path.abspath(path))
+    target: optional matching pytree of sharded ``jax.Array``s or
+    ``jax.ShapeDtypeStruct``s carrying ``.sharding`` — each leaf is restored
+    DIRECTLY onto its NamedSharding (each host/chip reads only its own
+    shards; no full-array host materialization), and the returned tree keeps
+    the target's container types (e.g. optax namedtuples). Without a target,
+    the raw saved tree is returned fully replicated on the default device —
+    fine for single-chip reference parity, wrong for mesh-resumed training.
+    """
+    path = os.path.abspath(path)
+    if target is None:
+        import warnings
+
+        with warnings.catch_warnings():
+            # Orbax warns that it populates sharding from the checkpoint's
+            # sharding file on targetless restores — here that IS the intent
+            # (single-process replicated load); mesh-topology restores must
+            # pass `target` and never reach this branch.
+            warnings.filterwarnings("ignore", message="Sharding info not provided")
+            return _checkpointer().restore(path)
+    import jax
+    import orbax.checkpoint as ocp
+
+    def _abstract(x):
+        if isinstance(x, jax.ShapeDtypeStruct):
+            return x
+        if isinstance(x, jax.Array):
+            return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding)
+        return x  # python scalars (step counters) pass through
+
+    abstract = jax.tree.map(_abstract, target)
+    restore_args = ocp.checkpoint_utils.construct_restore_args(abstract)
+    return _checkpointer().restore(
+        path, ocp.args.PyTreeRestore(item=abstract, restore_args=restore_args)
+    )
 
 
 def save_if_best(path, evaluator, kind, metrics, params, **kw):

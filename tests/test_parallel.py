@@ -370,3 +370,65 @@ def test_ep_collective_pattern(mesh8):
     # get-tuple-element lines that reference the op's result by name
     assert hlo.count("all-to-all(") == 2, hlo.count("all-to-all(")
     assert hlo.count("all-gather(") == 0  # expert weights are never gathered
+
+
+# ------------------------------------------------------------- sharded checkpoints
+
+
+def test_sharded_checkpoint_restore_onto_mesh(mesh8, tmp_path):
+    """Save a TP-sharded train state, restore ONTO the mesh: bit parity,
+    restored shardings == param shardings (no Orbax 'sharding info not
+    provided' fallback), and training resumes with one more step."""
+    import warnings
+
+    import optax
+
+    from llm_quest_tpu.parallel import shard_opt_state
+    from llm_quest_tpu.parallel.sharding import make_sharded_train_step, shard_batch
+    from llm_quest_tpu.training.checkpointing import load_checkpoint, save_checkpoint
+    from llm_quest_tpu.training.engine import make_optimizer
+
+    params = gpt2.init(jax.random.PRNGKey(0), TINY)
+    optimizer = make_optimizer(1e-3)
+    train_step, _ = make_sharded_train_step(gpt2, TINY, optimizer, mesh8, sharding_rules_gpt2)
+    ids = jax.random.randint(jax.random.PRNGKey(1), (8, 32), 0, TINY["vocab_size"])
+    host_batch = {"input_ids": ids, "targets": jnp.roll(ids, -1, 1),
+                  "attn_mask": jnp.ones((8, 32), bool)}
+
+    with mesh8:
+        sharded = shard_params(params, mesh8, sharding_rules_gpt2)
+        opt_state = shard_opt_state(optimizer, sharded, mesh8)
+        batch = shard_batch(host_batch, mesh8)
+        sharded, opt_state, loss0 = train_step(sharded, opt_state, batch)
+
+        path = save_checkpoint(str(tmp_path / "sharded"), sharded,
+                               opt_state=opt_state, step=1)
+
+        # fresh abstract target carrying the mesh shardings
+        target = {"params": sharded, "opt_state": opt_state, "step": 1}
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")  # the Orbax fallback warning = failure
+            restored = load_checkpoint(path, target=target)
+
+        # bit parity + shardings preserved
+        for a, b in zip(jax.tree.leaves(sharded), jax.tree.leaves(restored["params"])):
+            assert a.dtype == b.dtype
+            assert float(jnp.max(jnp.abs(a - b))) == 0.0
+            assert b.sharding == a.sharding, (b.sharding, a.sharding)
+        def find_mu(state):
+            if hasattr(state, "mu"):
+                return state.mu
+            if isinstance(state, (tuple, list)):
+                for s in state:
+                    r = find_mu(s)
+                    if r is not None:
+                        return r
+            return None
+
+        mu = find_mu(restored["opt_state"])
+        assert mu["blocks"][0]["att"]["wq"]["w"].sharding.spec == jax.sharding.PartitionSpec(None, "model")
+        assert int(restored["step"]) == 1
+
+        # resume: one more train step straight from the restored state
+        _, _, loss1 = train_step(restored["params"], restored["opt_state"], batch)
+    assert jnp.isfinite(loss1) and float(loss1) < float(loss0)
