@@ -20,9 +20,14 @@ with the Newton–Schulz exact inverse (residual squares each step; the strict
 lower triangle is nilpotent) replacing XLA's TriangularSolve (~500× slower
 on TPU at these shapes).
 
-Differentiation: ``gated_delta_rule_pallas`` carries a custom_vjp whose
-backward recomputes through the XLA chunked form — exact gradients, so the
-kernel is safe inside training steps.
+Differentiation: ``gated_delta_rule_pallas`` carries a custom_vjp. The
+kernel forward (under grad) additionally streams out each chunk's initial
+state S₀ — a small (dv, dk) remat anchor per chunk — and the backward is a
+REVERSE lax.scan of per-chunk vjps through the shared chunk math
+(ops.gdn.gdn_chunk), chaining the state cotangent chunk-to-chunk. Unlike
+the previous design (jax.vjp over the whole XLA chunked scan), no full
+forward re-run happens and no full-sequence residuals hit HBM: the primal
+pass is pure kernel, the backward works at one chunk's working set.
 """
 
 import functools
@@ -37,9 +42,13 @@ from jax.experimental.pallas import tpu as pltpu
 def _gdn_chunk_kernel(
     q_ref, k_ref, v_ref, beta_ref, alpha_ref, s0_ref,
     out_ref, sfin_ref,
-    state_ref,  # VMEM scratch (gb, dv, dk) fp32 — persists across chunk steps
-    *, n_chunks, n_newton,
+    *rest,  # [schk_ref] (when saving chunk states for the backward) + state_ref
+    n_chunks, n_newton, save_states=False,
 ):
+    if save_states:
+        schk_ref, state_ref = rest
+    else:
+        (state_ref,) = rest
     ci = pl.program_id(1)
 
     @pl.when(ci == 0)
@@ -52,6 +61,10 @@ def _gdn_chunk_kernel(
     bb = beta_ref[0].astype(jnp.float32)  # (gb, c) — blocked as (1, gb, c)
     aa = alpha_ref[0].astype(jnp.float32)
     state = state_ref[...]  # (gb, dv, dk)
+    if save_states:
+        # chunk-initial S₀ — the backward's remat anchor (one small state per
+        # chunk instead of full-sequence residuals)
+        schk_ref[0, ...] = state
 
     c = q.shape[1]
     row = lax.broadcasted_iota(jnp.int32, (c, c), 0)
@@ -110,8 +123,13 @@ def _gdn_chunk_kernel(
         sfin_ref[...] = new_state
 
 
-@functools.partial(jax.jit, static_argnames=("chunk_size", "bh_block", "interpret"))
-def _gdn_pallas_call(q, k, v, beta, alpha, prev_state, *, chunk_size=64, bh_block=None, interpret=False):
+@functools.partial(
+    jax.jit, static_argnames=("chunk_size", "bh_block", "interpret", "save_chunk_states")
+)
+def _gdn_pallas_call(
+    q, k, v, beta, alpha, prev_state, *, chunk_size=64, bh_block=None, interpret=False,
+    save_chunk_states=False,
+):
     b, h, s, dk = k.shape
     dv = v.shape[-1]
     dt = q.dtype
@@ -147,22 +165,35 @@ def _gdn_pallas_call(q, k, v, beta, alpha, prev_state, *, chunk_size=64, bh_bloc
     seq_spec = lambda d: pl.BlockSpec((gb, c, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
     vec_spec = pl.BlockSpec((1, gb, c), lambda i, j: (j, i, 0), memory_space=pltpu.VMEM)
     st_spec = pl.BlockSpec((gb, dv, dk), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM)
+    schk_spec = pl.BlockSpec((1, gb, dv, dk), lambda i, j: (j, i, 0, 0), memory_space=pltpu.VMEM)
 
-    out, sfin = pl.pallas_call(
-        functools.partial(_gdn_chunk_kernel, n_chunks=n_chunks, n_newton=max(1, (c - 1).bit_length())),
+    out_specs = [seq_spec(dv), st_spec]
+    out_shape = [
+        jax.ShapeDtypeStruct((bh, s_pad, dv), dt),
+        jax.ShapeDtypeStruct((bh, dv, dk), jnp.float32),
+    ]
+    if save_chunk_states:
+        out_specs.append(schk_spec)
+        out_shape.append(jax.ShapeDtypeStruct((n_chunks, bh, dv, dk), jnp.float32))
+
+    res = pl.pallas_call(
+        functools.partial(
+            _gdn_chunk_kernel, n_chunks=n_chunks,
+            n_newton=max(1, (c - 1).bit_length()), save_states=save_chunk_states,
+        ),
         grid=(bh // gb, n_chunks),
         in_specs=[seq_spec(dk), seq_spec(dk), seq_spec(dv), vec_spec, vec_spec, st_spec],
-        out_specs=[seq_spec(dv), st_spec],
-        out_shape=[
-            jax.ShapeDtypeStruct((bh, s_pad, dv), dt),
-            jax.ShapeDtypeStruct((bh, dv, dk), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((gb, dv, dk), jnp.float32)],
         interpret=interpret,
     )(qf, kf, vf, bf, af, s0)
 
-    out = out.reshape(b, h, s_pad, dv)[:, :, :s, :]
-    return out, sfin.reshape(b, h, dv, dk)
+    out = res[0].reshape(b, h, s_pad, dv)[:, :, :s, :]
+    sfin = res[1].reshape(b, h, dv, dk)
+    if save_chunk_states:
+        return out, sfin, res[2].reshape(n_chunks, b, h, dv, dk)
+    return out, sfin
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
@@ -171,26 +202,84 @@ def gated_delta_rule_pallas(q, k, v, beta, alpha, prev_state, chunk_size=64, int
 
     q/k: (b, h, s, dk) heads pre-repeated; v: (b, h, s, dv);
     beta/alpha: (b, h, s); prev_state: (b, h, dv, dk) fp32 (or None upstream).
-    Returns (out in q.dtype, final_state fp32). Backward recomputes through
-    the XLA chunked form (exact gradients).
+    Returns (out in q.dtype, final_state fp32).
+
+    Backward: the KERNEL forward additionally saves each chunk's initial
+    state S₀ (one small (dv, dk) tensor per chunk — the remat anchor), and
+    the backward is a REVERSE scan of per-chunk vjps through the shared
+    chunk math (ops.gdn.gdn_chunk): the state cotangent chains chunk-to-
+    chunk. No full-sequence XLA forward re-run, no full-sequence residuals
+    in HBM — exact gradients at one chunk's working set.
     """
     return _gdn_pallas_call(q, k, v, beta, alpha, prev_state, chunk_size=chunk_size, interpret=interpret)
 
 
+def _chunk_views(q, k, v, beta, alpha, c):
+    """Pad + reshape to (n_chunks, b, h, c, ·) fp32 chunk views, exactly as
+    the forward does (q pre-scaled; β pad=0, α pad=1)."""
+    b, h, s, dk = k.shape
+    s_pad = -(-s // c) * c
+    if s_pad != s:
+        w4 = [(0, 0), (0, 0), (0, s_pad - s), (0, 0)]
+        w3 = [(0, 0), (0, 0), (0, s_pad - s)]
+        q, k, v = jnp.pad(q, w4), jnp.pad(k, w4), jnp.pad(v, w4)
+        beta = jnp.pad(beta, w3)
+        alpha = jnp.pad(alpha, w3, constant_values=1.0)
+    n = s_pad // c
+    chunk = lambda x, d: jnp.moveaxis(
+        x.astype(jnp.float32).reshape(b, h, n, c, d), 2, 0
+    )
+    return (
+        chunk(q, dk) * (dk**-0.5),
+        chunk(k, dk),
+        chunk(v, v.shape[-1]),
+        jnp.moveaxis(beta.astype(jnp.float32).reshape(b, h, n, c), 2, 0),
+        jnp.moveaxis(alpha.astype(jnp.float32).reshape(b, h, n, c), 2, 0),
+        s_pad,
+    )
+
+
 def _gdn_fwd(q, k, v, beta, alpha, prev_state, chunk_size, interpret):
-    out = _gdn_pallas_call(q, k, v, beta, alpha, prev_state, chunk_size=chunk_size, interpret=interpret)
-    return out, (q, k, v, beta, alpha, prev_state)
+    out, sfin, s_chunks = _gdn_pallas_call(
+        q, k, v, beta, alpha, prev_state, chunk_size=chunk_size, interpret=interpret,
+        save_chunk_states=True,
+    )
+    return (out, sfin), (q, k, v, beta, alpha, s_chunks)
 
 
 def _gdn_bwd(chunk_size, interpret, res, cts):
-    from llm_quest_tpu.ops.gdn import gated_delta_rule_chunked
+    from llm_quest_tpu.ops.gdn import gdn_chunk
 
-    q, k, v, beta, alpha, prev_state = res
-    _, vjp = jax.vjp(
-        lambda q, k, v, b_, a_, s0: gated_delta_rule_chunked(q, k, v, b_, a_, s0, chunk_size=chunk_size),
-        q, k, v, beta, alpha, prev_state,
+    q, k, v, beta, alpha, s_chunks = res
+    ct_out, ct_sfin = cts
+    b, h, s, dk = k.shape
+    dv = v.shape[-1]
+    c = min(chunk_size, s)
+
+    qc, kc, vc, bc, ac, s_pad = _chunk_views(q, k, v, beta, alpha, c)
+    ct_o = jnp.moveaxis(
+        jnp.pad(ct_out.astype(jnp.float32), [(0, 0), (0, 0), (0, s_pad - s), (0, 0)])
+        .reshape(b, h, s_pad // c, c, dv),
+        2, 0,
     )
-    return vjp(cts)
+
+    def bwd_step(d_state, xs):
+        qq, kk, vv, bb, aa, s0, ct_oc = xs
+        _, vjp = jax.vjp(gdn_chunk, qq, kk, vv, bb, aa, s0)
+        dq, dk_, dv_, db, da, ds0 = vjp((d_state, ct_oc))
+        return ds0, (dq, dk_, dv_, db, da)
+
+    d_prev, (dqc, dkc, dvc, dbc, dac) = lax.scan(
+        bwd_step, ct_sfin, (qc, kc, vc, bc, ac, s_chunks, ct_o), reverse=True
+    )
+
+    unchunk = lambda x, d: jnp.moveaxis(x, 0, 2).reshape(b, h, s_pad, d)[:, :, :s]
+    dq = (unchunk(dqc, dk) * (dk**-0.5)).astype(q.dtype)
+    dk4 = unchunk(dkc, dk).astype(k.dtype)
+    dv4 = unchunk(dvc, dv).astype(v.dtype)
+    db = jnp.moveaxis(dbc, 0, 2).reshape(b, h, s_pad)[:, :, :s].astype(beta.dtype)
+    da = jnp.moveaxis(dac, 0, 2).reshape(b, h, s_pad)[:, :, :s].astype(alpha.dtype)
+    return dq, dk4, dv4, db, da, d_prev
 
 
 gated_delta_rule_pallas.defvjp(_gdn_fwd, _gdn_bwd)

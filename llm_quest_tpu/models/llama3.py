@@ -129,7 +129,10 @@ def apply(params, cfg, x, *, attn_mask=None, cache=None, position_ids=None, rope
         position_ids = (pos0 + jnp.arange(s))[None, :] * jnp.ones((b, 1), jnp.int32)
 
     k_len = kvc.max_len(cache) if cache is not None else s
-    mask = causal_mask(s, k_len, q_start=pos0, attn_mask=attn_mask)
+    # context parallelism skips the dense O(s²) mask; the attention router
+    # streams causality through the ring-flash kernel (ops/attention.py)
+    cp_active = cfg.get("context_parallel") is not None and cache is None and attn_mask is None
+    mask = None if cp_active else causal_mask(s, k_len, q_start=pos0, attn_mask=attn_mask)
 
     h = embedding(params["tok_emb"], x)
 

@@ -136,7 +136,11 @@ def apply(
         position_ids = (pos0 + jnp.arange(s))[None, :] * jnp.ones((b, 1), jnp.int32)
 
     k_len = kvc.max_len(cache) if cache is not None else s
-    mask = causal_mask(s, k_len, q_start=pos0, attn_mask=attn_mask)
+    # under context parallelism the dense (s, s) mask is exactly the O(s²)
+    # object CP exists to avoid — the attention router streams causality
+    # through the ring-flash kernel instead (ops/attention.py)
+    cp_active = cfg.get("context_parallel") is not None and cache is None and attn_mask is None
+    mask = None if cp_active else causal_mask(s, k_len, q_start=pos0, attn_mask=attn_mask)
 
     h = embedding(params["tok_emb"], x)
 

@@ -123,6 +123,32 @@ def attention(
     no window) cannot be represented to the kernel, so that combination is
     routed to sdpa here rather than mis-masked.
     """
+    # context parallelism: when cfg["context_parallel"] = {"mesh", "axis"} is
+    # set, full-sequence causal training calls route through the ring-flash
+    # sequence-parallel kernel (parallel/sequence.py) — KV blocks stream
+    # around the ICI ring, activations stay sequence-sharded, context scales
+    # with the number of devices. Covers the plain-causal case only (padding/
+    # window/sink/softcap shapes fall through to the local paths below).
+    cp = cfg.get("context_parallel") if cfg is not None else None
+    if (
+        cp is not None
+        and flash_ok
+        and causal
+        and q.shape[2] == k.shape[2]
+        and q.shape[2] % (cp["mesh"].shape[cp.get("axis", "data")] * 8) == 0
+        and mask is None  # callers skip building the dense (s, s) mask under CP
+        and attn_mask is None
+        and sink is None
+        and softcap is None
+        and window_size is None
+    ):
+        from llm_quest_tpu.parallel.sequence import ring_flash_attention
+
+        return ring_flash_attention(
+            cp["mesh"], cp.get("axis", "data"), q, k, v,
+            causal=True, scale=scale, interpret=jax.default_backend() != "tpu",
+        )
+
     # fused short-seq kernel: whole (s, s) score tile in VMEM, one program
     # per group of (b·h) pairs — the ViT/vision-encoder hot path (measured
     # faster than XLA sdpa at ViT-B s=197 where flash's grid overhead loses).
@@ -171,6 +197,12 @@ def attention(
             window_size=window_size, scale=scale, softcap=softcap,
             interpret=jax.default_backend() != "tpu",
         ).astype(q.dtype)
+    if mask is None and causal and q.shape[2] > 1:
+        # a CP-skipped dense mask that fell through (shape didn't qualify for
+        # the ring path) still needs causal semantics on the sdpa fallback
+        from llm_quest_tpu.ops.masks import causal_mask
+
+        mask = causal_mask(q.shape[2], k.shape[2], q_start=k.shape[2] - q.shape[2], attn_mask=attn_mask)
     return sdpa(q, k, v, mask=mask, scale=scale, sink=sink, softcap=softcap)
 
 

@@ -190,6 +190,58 @@ def conv_state_from_prefill(x, kernel_size):
     return tail
 
 
+def gdn_chunk(qq, kk, vv, bb, aa, state):
+    """ONE chunk of the chunked gated delta rule — the shared math between
+    the XLA scan (gated_delta_rule_chunked) and the Pallas kernel's backward
+    (kernels/gdn_pallas.py recomputes per chunk from saved chunk states).
+
+    qq/kk: (b, h, c, dk) fp32, q PRE-scaled by dk^-0.5; vv: (b, h, c, dv);
+    bb/aa: (b, h, c) fp32; state: (b, h, dv, dk) fp32 chunk-initial S₀.
+    Returns (new_state, out) with out fp32.
+    """
+    c = qq.shape[2]
+    tril_strict = jnp.tril(jnp.ones((c, c), bool), k=-1)
+    tril_incl = jnp.tril(jnp.ones((c, c), bool))
+    eye = jnp.eye(c, dtype=jnp.float32)
+
+    lgamma = jnp.cumsum(jnp.log(jnp.maximum(aa, 1e-30)), axis=-1)  # (b, h, c)
+    gamma = jnp.exp(lgamma)
+    # ratio[t, i] = γ_t/γ_i for i ≤ t (≤ 1); 0 elsewhere
+    lr = lgamma[..., :, None] - lgamma[..., None, :]
+    ratio = jnp.where(tril_incl, jnp.exp(jnp.minimum(lr, 0.0)), 0.0)
+
+    kkT = jnp.einsum("bhtd,bhid->bhti", kk, kk)  # k_tᵀk_i
+    m = eye + jnp.where(tril_strict, bb[..., :, None] * ratio * kkT, 0.0)
+
+    ks0 = jnp.einsum("bhtd,bhvd->bhtv", kk, state)  # K S₀ᵀ (c, dv)
+    rhs = (bb * gamma)[..., None] * ks0 - bb[..., None] * vv
+
+    # M⁻¹ via Newton–Schulz X ← X(2I − MX): the residual I − MX SQUARES
+    # each step and the strict-lower part of M is nilpotent (Lᶜ = 0), so
+    # ceil(log2(c)) iterations give the EXACT inverse in pure MXU matmuls
+    # (XLA's TriangularSolve is catastrophically slow on TPU — 500×
+    # measured on v5e for these shapes)
+    n_newton = max(1, (c - 1).bit_length())
+    x_inv = eye - (m - eye)  # X₀ = I − L: residual already L²-order
+    for _ in range(n_newton):
+        x_inv = x_inv @ (2.0 * eye - m @ x_inv)
+    d = jnp.einsum("bhti,bhiv->bhtv", x_inv, rhs)  # (b,h,c,dv)
+
+    qs0 = jnp.einsum("bhtd,bhvd->bhtv", qq, state)  # Q S₀ᵀ
+    qkT = jnp.einsum("bhtd,bhid->bhti", qq, kk)  # q_tᵀk_i
+    att = jnp.where(tril_incl, ratio * qkT, 0.0)
+    out = gamma[..., None] * qs0 - jnp.einsum("bhti,bhiv->bhtv", att, d)
+
+    # γ_C/γ_i strictly in log space — γ itself can underflow fp32 over a
+    # chunk (α^64 ≪ 1e-38) while the ratios stay ≤ 1 and well-defined
+    lgamma_c = lgamma[..., -1:]  # (b, h, 1)
+    ratio_c = jnp.exp(jnp.minimum(lgamma_c - lgamma, 0.0))  # (b, h, c)
+    d_scaled = ratio_c[..., None] * d
+    gamma_c = jnp.exp(lgamma_c)[..., None]  # (b, h, 1, 1)
+    new_state = gamma_c * state - jnp.einsum("bhtv,bhtd->bhvd", d_scaled, kk)
+    return new_state, out
+
+
 def gated_delta_rule_chunked(q, k, v, beta, alpha, prev_state=None, *, chunk_size=64):
     """Chunked-parallel gated delta rule — O(L·C) MXU matmuls instead of an
     L-step recurrence (the SURVEY §7.3 #1 rewrite; exact, not approximate).
@@ -238,51 +290,12 @@ def gated_delta_rule_chunked(q, k, v, beta, alpha, prev_state=None, *, chunk_siz
     bc = jnp.moveaxis(beta32.reshape(b, h, n_chunks, c), 2, 0)
     ac = jnp.moveaxis(alpha32.reshape(b, h, n_chunks, c), 2, 0)
 
-    tril_strict = jnp.tril(jnp.ones((c, c), bool), k=-1)
-    tril_incl = jnp.tril(jnp.ones((c, c), bool))
-    eye = jnp.eye(c, dtype=jnp.float32)
-
     if prev_state is None:
         prev_state = jnp.zeros((b, h, dv, dk), jnp.float32)
 
     def chunk_step(state, xs):
         qq, kk, vv, bb, aa = xs  # (b, h, c, ·)
-        lgamma = jnp.cumsum(jnp.log(jnp.maximum(aa, 1e-30)), axis=-1)  # (b, h, c)
-        gamma = jnp.exp(lgamma)
-        # ratio[t, i] = γ_t/γ_i for i ≤ t (≤ 1); 0 elsewhere
-        lr = lgamma[..., :, None] - lgamma[..., None, :]
-        ratio = jnp.where(tril_incl, jnp.exp(jnp.minimum(lr, 0.0)), 0.0)
-
-        kkT = jnp.einsum("bhtd,bhid->bhti", kk, kk)  # k_tᵀk_i
-        m = eye + jnp.where(tril_strict, bb[..., :, None] * ratio * kkT, 0.0)
-
-        ks0 = jnp.einsum("bhtd,bhvd->bhtv", kk, state)  # K S₀ᵀ (c, dv)
-        rhs = (bb * gamma)[..., None] * ks0 - bb[..., None] * vv
-
-        # M⁻¹ via Newton–Schulz X ← X(2I − MX): the residual I − MX SQUARES
-        # each step and the strict-lower part of M is nilpotent (Lᶜ = 0), so
-        # ceil(log2(c)) iterations give the EXACT inverse in pure MXU matmuls
-        # (XLA's TriangularSolve is catastrophically slow on TPU — 500×
-        # measured on v5e for these shapes)
-        n_newton = max(1, (c - 1).bit_length())
-        x_inv = eye - (m - eye)  # X₀ = I − L: residual already L²-order
-        for _ in range(n_newton):
-            x_inv = x_inv @ (2.0 * eye - m @ x_inv)
-        d = jnp.einsum("bhti,bhiv->bhtv", x_inv, rhs)  # (b,h,c,dv)
-
-        qs0 = jnp.einsum("bhtd,bhvd->bhtv", qq, state)  # Q S₀ᵀ
-        qkT = jnp.einsum("bhtd,bhid->bhti", qq, kk)  # q_tᵀk_i
-        att = jnp.where(tril_incl, ratio * qkT, 0.0)
-        out = gamma[..., None] * qs0 - jnp.einsum("bhti,bhiv->bhtv", att, d)
-
-        # γ_C/γ_i strictly in log space — γ itself can underflow fp32 over a
-        # chunk (α^64 ≪ 1e-38) while the ratios stay ≤ 1 and well-defined
-        lgamma_c = lgamma[..., -1:]  # (b, h, 1)
-        ratio_c = jnp.exp(jnp.minimum(lgamma_c - lgamma, 0.0))  # (b, h, c)
-        d_scaled = ratio_c[..., None] * d
-        gamma_c = jnp.exp(lgamma_c)[..., None]  # (b, h, 1, 1)
-        state = gamma_c * state - jnp.einsum("bhtv,bhtd->bhvd", d_scaled, kk)
-        return state, out
+        return gdn_chunk(qq, kk, vv, bb, aa, state)
 
     final_state, outs = lax.scan(chunk_step, prev_state, (qc, kc, vc, bc, ac))
     outs = jnp.moveaxis(outs, 0, 2).reshape(b, h, s_pad, dv)[:, :, :s, :]

@@ -81,3 +81,29 @@ def test_auto_dispatch_short_falls_back_to_scan():
     out_ref, st_ref = gated_delta_rule(q, k, v, beta, alpha, prev_state=s0)
     assert float(jnp.max(jnp.abs(out - out_ref))) < TOL
     assert float(jnp.max(jnp.abs(st - st_ref))) < TOL
+
+
+@pytest.mark.slow
+def test_gradients_padded_and_vs_scan_oracle():
+    """Backward with a padded tail chunk (s=130 ∤ 64), checked against BOTH
+    the chunked form and the lax.scan recurrence oracle."""
+    from llm_quest_tpu.ops.gdn import gated_delta_rule
+
+    q, k, v, beta, alpha, s0 = _inputs(s=130, seed=4)
+
+    def loss(fn):
+        def inner(q, k, v, beta, alpha, s0):
+            o, st = fn(q, k, v, beta, alpha, s0)
+            return jnp.sum(jnp.sin(o)) + 0.01 * jnp.sum(st**2)
+
+        return inner
+
+    args = (q, k, v, beta, alpha, s0)
+    gp = jax.grad(loss(lambda *a: gated_delta_rule_pallas(*a, 64, INTERPRET)), argnums=tuple(range(6)))(*args)
+    gc = jax.grad(loss(lambda *a: gated_delta_rule_chunked(*a, chunk_size=64)), argnums=tuple(range(6)))(*args)
+    gs = jax.grad(loss(lambda q, k, v, b_, a_, s0: gated_delta_rule(q, k, v, b_, a_, prev_state=s0)),
+                  argnums=tuple(range(6)))(*args)
+    for a, b in zip(gp, gc):
+        assert float(jnp.max(jnp.abs(a - b))) < TOL
+    for a, b in zip(gp, gs):
+        assert float(jnp.max(jnp.abs(a - b))) < max(TOL, 5e-4)  # scan vs chunked assoc. drift

@@ -432,3 +432,59 @@ def test_sharded_checkpoint_restore_onto_mesh(mesh8, tmp_path):
         # resume: one more train step straight from the restored state
         _, _, loss1 = train_step(restored["params"], restored["opt_state"], batch)
     assert jnp.isfinite(loss1) and float(loss1) < float(loss0)
+
+
+# ---------------------------------------------------------- context parallelism
+
+
+def test_context_parallel_model_forward_and_grads(mesh8):
+    """A MODEL (not just the op) runs sequence-sharded: qwen3 with
+    cfg["context_parallel"] routes its attention through ring-flash over the
+    "data" axis; logits and parameter grads match the replicated forward."""
+    from llm_quest_tpu.models import qwen3
+
+    cfg = {
+        "model_type": "dense", "vocab_size": 128, "context_length": 128, "emb_dim": 32,
+        "n_layers": 2, "n_heads": 4, "num_kv_groups": 2, "head_dim": 8, "hidden_dim": 64,
+        "rope_base": 10_000, "tie_embeddings": True, "dtype": jnp.float32,
+    }
+    params = qwen3.init(jax.random.PRNGKey(0), cfg)
+    s = 4 * 32  # divisible by n_data * 8
+    ids = jax.random.randint(jax.random.PRNGKey(1), (2, s), 0, 128)
+    targets = jnp.roll(ids, -1, 1)
+
+    def loss_fn(p, c):
+        logits, _, _ = qwen3.apply(p, c, ids, training=True)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        return -jnp.mean(jnp.take_along_axis(logp, targets[..., None], axis=-1))
+
+    ref_loss, ref_grads = jax.value_and_grad(loss_fn)(params, cfg)
+
+    cp_cfg = dict(cfg, context_parallel={"mesh": mesh8, "axis": "data"})
+    with mesh8:
+        cp_loss, cp_grads = jax.jit(jax.value_and_grad(lambda p: loss_fn(p, cp_cfg)))(params)
+
+    assert abs(float(ref_loss) - float(cp_loss)) < 1e-5
+    for a, b in zip(jax.tree.leaves(ref_grads), jax.tree.leaves(cp_grads)):
+        assert float(jnp.max(jnp.abs(a - b))) < 5e-5
+
+
+def test_context_parallel_falls_back_when_unshardable(mesh8):
+    """Sequences that don't divide over the CP axis still get CAUSAL
+    attention (the router's sdpa fallback self-builds the mask)."""
+    from llm_quest_tpu.models import qwen3
+
+    cfg = {
+        "model_type": "dense", "vocab_size": 128, "context_length": 64, "emb_dim": 32,
+        "n_layers": 1, "n_heads": 4, "num_kv_groups": 2, "head_dim": 8, "hidden_dim": 64,
+        "rope_base": 10_000, "tie_embeddings": True, "dtype": jnp.float32,
+        "use_fused_mha": False,
+    }
+    params = qwen3.init(jax.random.PRNGKey(0), cfg)
+    ids = jax.random.randint(jax.random.PRNGKey(1), (2, 27), 0, 128)  # 27 ∤ 4·8
+
+    ref, _, _ = qwen3.apply(params, cfg, ids)
+    cp_cfg = dict(cfg, context_parallel={"mesh": mesh8, "axis": "data"})
+    with mesh8:
+        got, _, _ = qwen3.apply(params, cp_cfg, ids)
+    assert float(jnp.max(jnp.abs(ref - got))) < 1e-5
