@@ -43,18 +43,19 @@ def _ceil_to(x, m):
     return -(-x // m) * m
 
 
-def _block_visible(kb, qb, *, block_q, block_k, causal, window_size):
-    """Whether k block kb can contribute to q block qb at all."""
+def _block_visible(kb, qb, *, block_q, block_k, causal, window_size, q_start=0):
+    """Whether k block kb can contribute to q block qb at all. ``q_start``
+    is the static absolute position of query row 0 (cached-prefill offset)."""
     vis = jnp.bool_(True)
     if causal:
-        vis = vis & (kb * block_k <= qb * block_q + block_q - 1)
+        vis = vis & (kb * block_k <= q_start + qb * block_q + block_q - 1)
     if window_size is not None:
         # lowest k position any row of this q block may attend to
-        vis = vis & ((kb + 1) * block_k - 1 > qb * block_q - window_size)
+        vis = vis & ((kb + 1) * block_k - 1 > q_start + qb * block_q - window_size)
     return vis
 
 
-def _kv_index_map(group, block_q, block_k, causal, window_size):
+def _kv_index_map(group, block_q, block_k, causal, window_size, q_start=0):
     """Clamp the k-block index to the visible band so skipped iterations
     re-request the previous block (Mosaic skips the DMA when the block index
     repeats) instead of fetching data the kernel won't read."""
@@ -62,9 +63,9 @@ def _kv_index_map(group, block_q, block_k, causal, window_size):
     def index_map(bh, qb, kb):
         kc = kb
         if causal:
-            kc = jnp.minimum(kc, (qb * block_q + block_q - 1) // block_k)
+            kc = jnp.minimum(kc, (q_start + qb * block_q + block_q - 1) // block_k)
         if window_size is not None:
-            kc = jnp.maximum(kc, (qb * block_q - window_size + 1) // block_k)
+            kc = jnp.maximum(kc, (q_start + qb * block_q - window_size + 1) // block_k)
             kc = jnp.maximum(kc, 0)
         return (bh // group, kc, 0)
 
@@ -88,7 +89,7 @@ def _score_mask(q_off, k_off, block_q, block_k, sk, causal, window_size):
 
 def _fwd_kernel(
     q_ref, k_ref, v_ref, bias_ref, sink_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
-    *, sk, block_q, block_k, nk, causal, window_size, scale, softcap, hq,
+    *, sk, block_q, block_k, nk, causal, window_size, scale, softcap, hq, q_start=0,
 ):
     bh = pl.program_id(0)
     qb = pl.program_id(1)
@@ -101,7 +102,7 @@ def _fwd_kernel(
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
     @pl.when(_block_visible(kb, qb, block_q=block_q, block_k=block_k,
-                            causal=causal, window_size=window_size))
+                            causal=causal, window_size=window_size, q_start=q_start))
     def _():
         # dots run on native (bf16) inputs with fp32 MXU accumulation; the
         # scale and softmax happen in fp32
@@ -114,7 +115,7 @@ def _fwd_kernel(
         if bias_ref is not None:
             s = s + bias_ref[0]
         s = jnp.where(
-            _score_mask(qb * block_q, kb * block_k, block_q, block_k, sk, causal, window_size),
+            _score_mask(q_start + qb * block_q, kb * block_k, block_q, block_k, sk, causal, window_size),
             NEG_INF, s,
         )
 
@@ -154,7 +155,7 @@ def _fwd_kernel(
 
 
 def _recompute_p(q, k, lse, bias, qb, kb, *,
-                 block_q, block_k, sk, causal, window_size, scale, softcap):
+                 block_q, block_k, sk, causal, window_size, scale, softcap, q_start=0):
     s_raw = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
     if softcap is not None:
         t = jnp.tanh(s_raw / softcap)
@@ -163,7 +164,7 @@ def _recompute_p(q, k, lse, bias, qb, kb, *,
         s = s_raw
     if bias is not None:
         s = s + bias
-    mask = _score_mask(qb * block_q, kb * block_k, block_q, block_k, sk, causal, window_size)
+    mask = _score_mask(q_start + qb * block_q, kb * block_k, block_q, block_k, sk, causal, window_size)
     s = jnp.where(mask, NEG_INF, s)
     p = jnp.exp(s - lse)  # rows with all-masked scores have lse such that p≈0
     if softcap is not None:
@@ -173,7 +174,7 @@ def _recompute_p(q, k, lse, bias, qb, kb, *,
 
 def _bwd_dq_kernel(
     q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref, dq_ref, dq_scr,
-    *, sk, block_q, block_k, nk, causal, window_size, scale, softcap,
+    *, sk, block_q, block_k, nk, causal, window_size, scale, softcap, q_start=0,
 ):
     qb = pl.program_id(1)
     kb = pl.program_id(2)
@@ -183,7 +184,7 @@ def _bwd_dq_kernel(
         dq_scr[:] = jnp.zeros_like(dq_scr)
 
     @pl.when(_block_visible(kb, qb, block_q=block_q, block_k=block_k,
-                            causal=causal, window_size=window_size))
+                            causal=causal, window_size=window_size, q_start=q_start))
     def _():
         q = q_ref[0]
         k = k_ref[0]
@@ -197,6 +198,7 @@ def _bwd_dq_kernel(
             q, k, lse, bias, qb, kb,
             block_q=block_q, block_k=block_k, sk=sk,
             causal=causal, window_size=window_size, scale=scale, softcap=softcap,
+            q_start=q_start,
         )
         dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
         ds = p * (dp - delta)
@@ -214,7 +216,7 @@ def _bwd_dq_kernel(
 def _bwd_dkv_kernel(
     q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref,
     dk_ref, dv_ref, dk_scr, dv_scr,
-    *, sk, block_q, block_k, nq, causal, window_size, scale, softcap,
+    *, sk, block_q, block_k, nq, causal, window_size, scale, softcap, q_start=0,
 ):
     kb = pl.program_id(1)
     qb = pl.program_id(2)
@@ -225,7 +227,7 @@ def _bwd_dkv_kernel(
         dv_scr[:] = jnp.zeros_like(dv_scr)
 
     @pl.when(_block_visible(kb, qb, block_q=block_q, block_k=block_k,
-                            causal=causal, window_size=window_size))
+                            causal=causal, window_size=window_size, q_start=q_start))
     def _():
         q = q_ref[0]
         k = k_ref[0]
@@ -239,6 +241,7 @@ def _bwd_dkv_kernel(
             q, k, lse, bias, qb, kb,
             block_q=block_q, block_k=block_k, sk=sk,
             causal=causal, window_size=window_size, scale=scale, softcap=softcap,
+            q_start=q_start,
         )
         dv_scr[:] = dv_scr[:] + jnp.dot(
             p.astype(do.dtype).T, do, preferred_element_type=jnp.float32
@@ -257,16 +260,17 @@ def _bwd_dkv_kernel(
         dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
 
 
-def _q_index_map_for_dkv(block_q, block_k, causal, window_size):
+def _q_index_map_for_dkv(block_q, block_k, causal, window_size, q_start=0):
     """Clamp the q-block index to the band visible from k block kb."""
 
     def index_map(bh, kb, qb):
         qc = qb
         if causal:
-            qc = jnp.maximum(qc, (kb * block_k) // block_q)
+            qc = jnp.maximum(qc, (kb * block_k - q_start) // block_q)
+            qc = jnp.maximum(qc, 0)
         if window_size is not None:
             # highest q that can see the block's LAST key: k_last + window - 1
-            last_q = (kb + 1) * block_k - 1 + window_size - 1
+            last_q = (kb + 1) * block_k - 1 + window_size - 1 - q_start
             qc = jnp.minimum(qc, jnp.maximum(last_q // block_q, 0))
         return (bh, qc, 0)
 
@@ -306,13 +310,13 @@ def _prepare(q, k, v, attn_mask, block_q, block_k):
 
 
 def _fwd(q, k, v, attn_mask, sink, *, causal, window_size, scale, softcap,
-         block_q, block_k, interpret):
+         block_q, block_k, interpret, q_start=0):
     q3, k3, v3, bias, dims = _prepare(q, k, v, attn_mask, block_q, block_k)
     b, hq, hkv, sq, sk, d, dv, sq_p, sk_p, d_p, dv_p = dims
     group = hq // hkv
     nq, nk = sq_p // block_q, sk_p // block_k
 
-    kv_map = _kv_index_map(group, block_q, block_k, causal, window_size)
+    kv_map = _kv_index_map(group, block_q, block_k, causal, window_size, q_start)
     in_specs = [
         pl.BlockSpec((1, block_q, d_p), lambda bh, qb, kb: (bh, qb, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, block_k, d_p), kv_map, memory_space=pltpu.VMEM),
@@ -346,6 +350,7 @@ def _fwd(q, k, v, attn_mask, sink, *, causal, window_size, scale, softcap,
             m_scr, l_scr, acc_scr,
             sk=sk, block_q=block_q, block_k=block_k, nk=nk, causal=causal,
             window_size=window_size, scale=scale, softcap=softcap, hq=hq,
+            q_start=q_start,
         )
 
     out, lse = pl.pallas_call(
@@ -373,7 +378,7 @@ def _fwd(q, k, v, attn_mask, sink, *, causal, window_size, scale, softcap,
 
 
 def _bwd(q, k, v, attn_mask, sink, o, lse3, g, *, causal, window_size, scale,
-         softcap, block_q, block_k, interpret, delta_shift=None):
+         softcap, block_q, block_k, interpret, delta_shift=None, q_start=0):
     q3, k3, v3, bias, dims = _prepare(q, k, v, attn_mask, block_q, block_k)
     b, hq, hkv, sq, sk, d, dv, sq_p, sk_p, d_p, dv_p = dims
     group = hq // hkv
@@ -390,7 +395,7 @@ def _bwd(q, k, v, attn_mask, sink, o, lse3, g, *, causal, window_size, scale,
     delta3 = jnp.broadcast_to(delta[..., None], (b * hq, sq_p, LANE))
     lse_b = jnp.broadcast_to(lse3, (b * hq, sq_p, LANE))
 
-    kv_map = _kv_index_map(group, block_q, block_k, causal, window_size)
+    kv_map = _kv_index_map(group, block_q, block_k, causal, window_size, q_start)
     q_map = lambda bh, qb, kb: (bh, qb, 0)
 
     # --- dq: grid (bh, nq, nk), k innermost ---
@@ -420,7 +425,7 @@ def _bwd(q, k, v, attn_mask, sink, o, lse3, g, *, causal, window_size, scale,
         _bwd_dq_kernel(
             q_r, k_r, v_r, b_r, do_r, lse_r, dl_r, dq_r, scr,
             sk=sk, block_q=block_q, block_k=block_k, nk=nk, causal=causal,
-            window_size=window_size, scale=scale, softcap=softcap,
+            window_size=window_size, scale=scale, softcap=softcap, q_start=q_start,
         )
 
     dq = pl.pallas_call(
@@ -436,7 +441,7 @@ def _bwd(q, k, v, attn_mask, sink, o, lse3, g, *, causal, window_size, scale,
     # --- dk/dv: grid (bh over q-heads, nk, nq), q innermost; GQA head groups
     # accumulate into per-q-head dk/dv then sum over the group in XLA ---
     kv_map_b = lambda bh, kb, qb, group=group: (bh // group, kb, 0)
-    q_map_b = _q_index_map_for_dkv(block_q, block_k, causal, window_size)
+    q_map_b = _q_index_map_for_dkv(block_q, block_k, causal, window_size, q_start)
     dkv_specs = [
         pl.BlockSpec((1, block_q, d_p), q_map_b, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, block_k, d_p), lambda bh, kb, qb: kv_map_b(bh, kb, qb), memory_space=pltpu.VMEM),
@@ -461,7 +466,7 @@ def _bwd(q, k, v, attn_mask, sink, o, lse3, g, *, causal, window_size, scale,
         _bwd_dkv_kernel(
             q_r, k_r, v_r, b_r, do_r, lse_r, dl_r, dk_r, dv_r, dks, dvs,
             sk=sk, block_q=block_q, block_k=block_k, nq=nq, causal=causal,
-            window_size=window_size, scale=scale, softcap=softcap,
+            window_size=window_size, scale=scale, softcap=softcap, q_start=q_start,
         )
 
     dk_h, dv_h = pl.pallas_call(
@@ -501,31 +506,34 @@ def _bwd(q, k, v, attn_mask, sink, o, lse3, g, *, causal, window_size, scale,
 
 @functools.partial(
     jax.custom_vjp,
-    nondiff_argnums=(5, 6, 7, 8, 9, 10, 11),
+    nondiff_argnums=(5, 6, 7, 8, 9, 10, 11, 12),
 )
 def _flash_core(q, k, v, attn_mask, sink,
-                causal, window_size, scale, softcap, block_q, block_k, interpret):
+                causal, window_size, scale, softcap, block_q, block_k, interpret,
+                q_start):
     out, _ = _fwd(q, k, v, attn_mask, sink, causal=causal, window_size=window_size,
                   scale=scale, softcap=softcap, block_q=block_q, block_k=block_k,
-                  interpret=interpret)
+                  interpret=interpret, q_start=q_start)
     return out
 
 
 def _flash_core_fwd(q, k, v, attn_mask, sink,
-                    causal, window_size, scale, softcap, block_q, block_k, interpret):
+                    causal, window_size, scale, softcap, block_q, block_k, interpret,
+                    q_start):
     out, (lse3, _) = _fwd(q, k, v, attn_mask, sink, causal=causal,
                           window_size=window_size, scale=scale, softcap=softcap,
-                          block_q=block_q, block_k=block_k, interpret=interpret)
+                          block_q=block_q, block_k=block_k, interpret=interpret,
+                          q_start=q_start)
     return out, (q, k, v, attn_mask, sink, out, lse3)
 
 
 def _flash_core_bwd(causal, window_size, scale, softcap, block_q, block_k, interpret,
-                    residuals, g):
+                    q_start, residuals, g):
     q, k, v, attn_mask, sink, out, lse3 = residuals
     dq, dk, dv, dsink = _bwd(
         q, k, v, attn_mask, sink, out, lse3, g,
         causal=causal, window_size=window_size, scale=scale, softcap=softcap,
-        block_q=block_q, block_k=block_k, interpret=interpret,
+        block_q=block_q, block_k=block_k, interpret=interpret, q_start=q_start,
     )
     return dq, dk, dv, None, dsink
 
@@ -547,6 +555,7 @@ def flash_attention(
     block_q=256,
     block_k=512,
     interpret=False,
+    q_start=0,
 ):
     """Blockwise flash attention, differentiable.
 
@@ -556,7 +565,10 @@ def flash_attention(
         attn_mask: optional (b, sk) bool key-validity mask (True = real).
         sink: optional (hq,) per-head sink logits (MiMo-V2) — extra softmax
             mass, no value contribution.
-        causal: apply causal masking (q and k start at position 0).
+        causal: apply causal masking. ``q_start`` (STATIC int) is the
+            absolute position of query row 0 — nonzero for prefill into a
+            pre-allocated cache where sq < sk and keys occupy [0, q_start+sq)
+            of the max_len key buffer (positions beyond are causally masked).
         window_size: sliding-window width (keys within [q-w+1, q]).
         softcap: Gemma-style score softcapping.
 
@@ -568,7 +580,7 @@ def flash_attention(
     block_k = min(block_k, _ceil_to(k.shape[2], 128))
     return _flash_core(q, k, v, attn_mask, sink,
                        causal, window_size, float(scale), softcap,
-                       block_q, block_k, interpret)
+                       block_q, block_k, interpret, int(q_start))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))

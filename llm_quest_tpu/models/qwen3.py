@@ -89,7 +89,8 @@ def init_cache(cfg, batch, max_len, *, dtype=None):
     )
 
 
-def _attention(params, cfg, x, mask, cos, sin, cache, layer_idx, position_ids, attn_mask=None):
+def _attention(params, cfg, x, mask, cos, sin, cache, layer_idx, position_ids, attn_mask=None,
+               q_start=None):
     q = split_heads(linear(params["wq"], x), cfg["n_heads"])
     k = split_heads(linear(params["wk"], x), cfg["num_kv_groups"])
     v = split_heads(linear(params["wv"], x), cfg["num_kv_groups"])
@@ -101,9 +102,12 @@ def _attention(params, cfg, x, mask, cos, sin, cache, layer_idx, position_ids, a
     if cache is not None:
         cache, k, v = kvc.update_layer(cache, layer_idx, k, v)
 
+    # flash covers uncached full-sequence calls AND cached PREFILL (sq < sk
+    # against the max_len cache view) when the query offset is static —
+    # long-prompt TTFT streams KV instead of materializing (s, max_len) scores
     out = merge_heads(attention(
         q, k, v, cfg=cfg, mask=mask, causal=True, attn_mask=attn_mask,
-        flash_ok=cache is None,
+        flash_ok=cache is None or q_start is not None, q_start=q_start,
     ))
     return linear(params["out_proj"], out), cache
 
@@ -135,6 +139,16 @@ def apply(
     if position_ids is None and cache is not None:
         position_ids = (pos0 + jnp.arange(s))[None, :] * jnp.ones((b, 1), jnp.int32)
 
+    # static query offset for cached prefill (s > 1): concrete at trace time
+    # for a fresh cache (pos created inside the jit), a Tracer inside the
+    # decode scan — where flash doesn't apply anyway (s == 1)
+    q_start_static = None
+    if cache is not None and s > 1:
+        try:
+            q_start_static = int(pos0)
+        except (TypeError, jax.errors.TracerIntegerConversionError, jax.errors.ConcretizationTypeError):
+            q_start_static = None
+
     k_len = kvc.max_len(cache) if cache is not None else s
     # under context parallelism the dense (s, s) mask is exactly the O(s²)
     # object CP exists to avoid — the attention router streams causality
@@ -157,7 +171,8 @@ def apply(
             residual = h
             hn = rms_norm_torch_parity(block["pre_att_norm"], h)
             att_out, cache = _attention(
-                block["att"], cfg, hn, mask, cos, sin, cache, i, position_ids, attn_mask
+                block["att"], cfg, hn, mask, cos, sin, cache, i, position_ids, attn_mask,
+                q_start=q_start_static,
             )
             h = residual + att_out
 

@@ -334,7 +334,8 @@ def init_mrope_attention(key, cfg, dtype):
     }
 
 
-def mrope_attention(params, cfg, x, mask, cos, sin, position_ids, kv_view, attn_mask=None):
+def mrope_attention(params, cfg, x, mask, cos, sin, position_ids, kv_view, attn_mask=None,
+                    q_start=None):
     """GatedAttention with MRoPE. position_ids: (3, b, s) or None (→ standard
     sequential ids on all 3 dims)."""
     b, s, _ = x.shape
@@ -356,9 +357,11 @@ def mrope_attention(params, cfg, x, mask, cos, sin, position_ids, kv_view, attn_
     if kv_view is not None:
         k, v = kv_view(k, v)
 
+    # flash covers uncached calls AND cached prefill (sq < max_len view)
+    # when the query offset is static — long-prompt TTFT streams KV
     out = merge_heads(attention(
         q, k, v, cfg=cfg, mask=mask, causal=True, attn_mask=attn_mask,
-        flash_ok=kv_view is None,
+        flash_ok=kv_view is None or q_start is not None, q_start=q_start,
     ))
     return linear(params["out_proj"], out * gate.astype(out.dtype))
 
@@ -456,6 +459,14 @@ def apply_text(
     mask = causal_mask(s, k_len, q_start=pos0, attn_mask=attn_mask)
     mask_cur = _cur_token_mask(attn_mask, s, pos0)
 
+    # static query offset for cached prefill (see models/qwen3.py)
+    q_start_static = None
+    if cache is not None and s > 1:
+        try:
+            q_start_static = int(pos0)
+        except (TypeError, jax.errors.TracerIntegerConversionError, jax.errors.ConcretizationTypeError):
+            q_start_static = None
+
     attn_i = gdn_i = 0
     decode_step = cache is not None and s == 1
 
@@ -497,7 +508,7 @@ def apply_text(
 
             att_out = mrope_attention(
                 block["att"], cfg, hn, mask, cos, sin, position_ids, kv_view,
-                attn_mask=attn_mask,
+                attn_mask=attn_mask, q_start=q_start_static,
             )
             attn_i += 1
 

@@ -102,6 +102,7 @@ def attention(
     softcap=None,
     scale=None,
     flash_ok=True,
+    q_start=None,
 ):
     """Attention router: Pallas flash kernel when legal + profitable, XLA sdpa
     otherwise.
@@ -178,11 +179,18 @@ def attention(
     # default OFF elsewhere so CPU tests exercise the XLA reference path —
     # set cfg["use_flash"] explicitly to force either way
     flash_default = jax.default_backend() == "tpu"
+    # full-sequence calls (sq == sk) stream as-is; CACHED PREFILL (sq < sk:
+    # prompt queries against the pre-allocated max_len cache view) qualifies
+    # too when the caller supplies the STATIC query offset — long-prompt TTFT
+    # would otherwise materialize (s × max_len) scores on the sdpa path
+    shape_ok = q.shape[2] == k.shape[2] or (
+        causal and q_start is not None and q.shape[2] < k.shape[2]
+    )
     use_flash = (
         flash_ok
         and cfg is not None
         and cfg.get("use_flash", flash_default)
-        and q.shape[2] == k.shape[2]
+        and shape_ok
         and q.shape[2] >= cfg.get("flash_min_seq", 256)
         # a dense mask without any structured equivalent can't reach the
         # kernel (flash ignores `mask`) — see the invariant in the docstring
@@ -195,6 +203,7 @@ def attention(
             q, k, v,
             attn_mask=attn_mask, sink=sink, causal=causal,
             window_size=window_size, scale=scale, softcap=softcap,
+            q_start=q_start or 0,
             interpret=jax.default_backend() != "tpu",
         ).astype(q.dtype)
     if mask is None and causal and q.shape[2] > 1:

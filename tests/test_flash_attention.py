@@ -236,3 +236,73 @@ def test_packed_mha_matches_sdpa(b, s, h, d):
     g1 = jax.grad(lambda q: jnp.sum(jnp.sin(packed_mha(q, k, v, h, None, INTERPRET))))(q)
     g2 = jax.grad(lambda q: jnp.sum(jnp.sin(merge_heads(sdpa(split_heads(q, h), split_heads(k, h), split_heads(v, h))))))(q)
     assert float(jnp.abs(g1 - g2).max()) < TOL
+
+
+def test_cached_prefill_sq_lt_sk():
+    """Prefill into a pre-allocated max_len cache: sq < sk with a static
+    q_start offset — queries at absolute positions [q_start, q_start+sq)
+    against a key buffer valid in [0, q_start+sq) (tail is garbage and must
+    be causally excluded)."""
+    b, h, sq, max_len, d = 2, 4, 150, 384, 64
+    q = jax.random.normal(jax.random.PRNGKey(0), (b, h, sq, d))
+    k_full = jax.random.normal(jax.random.PRNGKey(1), (b, h, max_len, d))
+    v_full = jax.random.normal(jax.random.PRNGKey(2), (b, h, max_len, d))
+
+    for q_start in (0, 100):
+        # garbage beyond the filled region must not leak
+        filled = q_start + sq
+        k = k_full.at[:, :, filled:].set(1e3)
+        v = v_full.at[:, :, filled:].set(1e3)
+        ref = sdpa(q, k, v, mask=causal_mask(sq, max_len, q_start=q_start))
+        out = flash_attention(q, k, v, causal=True, q_start=q_start, **FLASH_KW)
+        assert float(jnp.abs(ref - out).max()) < TOL, q_start
+
+
+def test_cached_prefill_with_padding_mask_and_grads():
+    """Left-pad prompts: the (b, sk) validity mask composes with the q_start
+    causal offset; gradients flow through the sq<sk backward kernels."""
+    b, h, sq, max_len, d = 2, 2, 130, 256, 64
+    q = jax.random.normal(jax.random.PRNGKey(3), (b, h, sq, d))
+    k = jax.random.normal(jax.random.PRNGKey(4), (b, h, max_len, d))
+    v = jax.random.normal(jax.random.PRNGKey(5), (b, h, max_len, d))
+    pad = jnp.asarray(np.random.default_rng(1).random((b, max_len)) > 0.2)
+
+    ref = sdpa(q, k, v, mask=causal_mask(sq, max_len, q_start=16, attn_mask=pad))
+    out = flash_attention(q, k, v, causal=True, q_start=16, attn_mask=pad, **FLASH_KW)
+    assert float(jnp.abs(ref - out).max()) < TOL
+
+    def loss_flash(q, k, v):
+        return jnp.sum(jnp.sin(flash_attention(q, k, v, causal=True, q_start=16,
+                                               attn_mask=pad, **FLASH_KW)))
+
+    def loss_ref(q, k, v):
+        return jnp.sum(jnp.sin(sdpa(q, k, v, mask=causal_mask(sq, max_len, q_start=16, attn_mask=pad))))
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gf, gr):
+        assert float(jnp.abs(a - b_).max()) < GRAD_TOL
+
+
+def test_model_level_flash_prefill_token_parity():
+    """qwen3 whole-generation decode with flash prefill (sq < max_len) emits
+    the same greedy tokens as the sdpa-prefill path."""
+    from llm_quest_tpu.inference import generate as gen
+    from llm_quest_tpu.models import qwen3
+
+    base = {
+        "model_type": "dense", "vocab_size": 128, "context_length": 512, "emb_dim": 32,
+        "n_layers": 2, "n_heads": 4, "num_kv_groups": 2, "head_dim": 8, "hidden_dim": 64,
+        "rope_base": 10_000, "tie_embeddings": True, "dtype": jnp.float32,
+    }
+    params = qwen3.init(jax.random.PRNGKey(0), base)
+    prompt = jax.random.randint(jax.random.PRNGKey(1), (2, 300), 0, 128)
+    mask = jnp.ones((2, 300), bool)
+
+    cfg_sdpa = dict(base, use_flash=False)
+    cfg_flash = dict(base, use_flash=True, flash_min_seq=64)
+    ref = gen.generate_batched_kv_cache(qwen3, params, cfg_sdpa, prompt, mask,
+                                        max_gen=8, temp=0.0, eos_ids=-1, pad_id=0)
+    out = gen.generate_batched_kv_cache(qwen3, params, cfg_flash, prompt, mask,
+                                        max_gen=8, temp=0.0, eos_ids=-1, pad_id=0)
+    assert ref["sequences"].tolist() == out["sequences"].tolist()

@@ -201,3 +201,27 @@ def test_generic_decode_engine_drives_text_model():
     )
     assert out["sequences"].shape == (2, 9)
     assert jnp.all(out["sequences"] >= 0)
+
+
+@pytest.mark.slow
+def test_flash_prefill_token_parity_text():
+    """Hybrid text decode with flash cached-prefill (long prompt against the
+    max_len cache view) == the sdpa-prefill decode, token for token."""
+    from llm_quest_tpu.inference import generate as gen
+
+    cfg = dict(TINY, context_length=512)
+    params = q35.init_text(jax.random.PRNGKey(0), cfg)
+
+    class TextModel:
+        apply = staticmethod(q35.apply_text)
+        init_cache = staticmethod(q35.init_cache)
+
+    model = TextModel
+    prompt = jax.random.randint(jax.random.PRNGKey(1), (2, 300), 0, 256)
+    mask = jnp.ones((2, 300), bool)
+
+    ref = gen.generate_batched_kv_cache(model, params, dict(cfg, use_flash=False),
+                                        prompt, mask, max_gen=6, temp=0.0, eos_ids=-1, pad_id=0)
+    out = gen.generate_batched_kv_cache(model, params, dict(cfg, use_flash=True, flash_min_seq=64),
+                                        prompt, mask, max_gen=6, temp=0.0, eos_ids=-1, pad_id=0)
+    assert ref["sequences"].tolist() == out["sequences"].tolist()
