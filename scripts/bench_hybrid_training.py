@@ -1,0 +1,65 @@
+"""Hybrid (Qwen3-Next) training-step benchmark at b=4, s=2048 on v5e-1.
+
+Round-2 recorded 19,434 tok/s/chip with the GDN kernel forward but a
+backward that re-ran the full XLA chunked form inside jax.vjp. Round 3's
+backward remats per chunk from kernel-saved chunk states
+(kernels/gdn_pallas.py) — this script measures the train-step throughput
+with the kernel on (new backward) vs the pure XLA chunked path.
+
+Run: PYTHONPATH=/root/repo:/root/.axon_site python -u scripts/bench_hybrid_training.py
+"""
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from llm_quest_tpu import config
+from llm_quest_tpu.models import qwen3_next
+from llm_quest_tpu.training.engine import make_optimizer, make_train_step
+
+B, S = 4, 2048
+N_STEPS = 8
+
+
+def bench(cfg, label):
+    params = qwen3_next.init(jax.random.PRNGKey(0), cfg)
+    n_params = sum(x.size for x in jax.tree.leaves(params))
+    optimizer = make_optimizer(3e-4)
+    opt_state = optimizer.init(params)
+    step = make_train_step(qwen3_next, cfg, optimizer, fused_head_ce=True)
+
+    rng = jax.random.PRNGKey(1)
+    ids = jnp.asarray(np.random.default_rng(0).integers(0, 32_000, (B, S)), jnp.int32)
+    batch = {"input_ids": ids, "targets": jnp.roll(ids, -1, 1)}
+
+    params, opt_state, loss = step(params, opt_state, batch, rng)  # compile
+    float(loss)  # real device sync (block_until_ready returns early over the tunnel)
+
+    t0 = time.perf_counter()
+    for _ in range(N_STEPS):
+        params, opt_state, loss = step(params, opt_state, batch, rng)
+    float(loss)  # the loss depends on the whole step chain — one true sync
+    dt = (time.perf_counter() - t0) / N_STEPS
+    toks = B * S / dt
+    print(f"{label:36s} {dt*1e3:7.1f} ms/step  {toks:9,.0f} tok/s/chip  "
+          f"loss {float(loss):.3f}  ({n_params/1e6:.0f}M params)", flush=True)
+    return toks
+
+
+def main():
+    assert jax.default_backend() == "tpu", jax.devices()
+    base = dict(
+        config.QWEN3_NEXT_SMALL_CONFIG,
+        context_length=S, dtype=jnp.bfloat16, p_dropout=0.0,
+        gradient_checkpointing=True,
+    )
+    t_kernel = bench(dict(base, use_gdn_kernel=True), "GDN kernel (chunk-remat backward)")
+    t_xla = bench(dict(base, use_gdn_kernel=False), "chunked XLA GDN")
+    print(f"\nkernel vs XLA train step: {t_kernel/t_xla:.3f}x   "
+          f"(round-2 record with vjp-recompute backward: 19,434 tok/s)", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -93,6 +93,97 @@ def time_call(fn, n=5):
     return (time.perf_counter() - t0) / n, out
 
 
+TINY_DRAFT_CFG = {
+    "vocab_size": VOCAB, "context_length": PROMPT_LEN + MAX_GEN + 24, "emb_dim": 128,
+    "n_heads": 2, "n_layers": 1, "drop_rate": 0.0, "qkv_bias": True,
+}
+
+
+def distill(model, cfg, teacher_params, teacher_cfg, corpus, steps, seed):
+    """Train a draft on the TARGET's soft distributions (true distillation —
+    the reference pairs GPT-2 124M/774M, which are distill-adjacent by
+    shared pretraining; a Markov-trained draft is the weaker analogue)."""
+    params = model.init(jax.random.PRNGKey(seed), cfg)
+    opt = optax.adamw(6e-4, weight_decay=0.01)
+    opt_state = opt.init(params)
+    n_windows = (len(corpus) - 1) // SEQ
+    inputs = corpus[: n_windows * SEQ].reshape(-1, SEQ)
+
+    @jax.jit
+    def step(params, opt_state, x):
+        t_logits, _, _ = gpt2.apply(teacher_params, teacher_cfg, x)
+        t_logp = jax.nn.log_softmax(t_logits.astype(jnp.float32), axis=-1)
+
+        def loss_fn(p):
+            logits, _, _ = model.apply(p, cfg, x)
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            return jnp.mean(jnp.sum(jnp.exp(t_logp) * (t_logp - logp), axis=-1))  # KL(t||s)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    rng = np.random.default_rng(seed)
+    loss = None
+    for i in range(steps):
+        idx = rng.integers(0, n_windows, size=BATCH)
+        params, opt_state, loss = step(params, opt_state, jnp.asarray(inputs[idx]))
+    return params, float(loss)
+
+
+def profile_split(t_params, d_params, d_cfg, prompt, gammas):
+    """Measured verify/draft cost split: per-token decode cost of each model
+    alone, plus the (γ+1)-window target verify, via the same whole-loop jits."""
+    print("\n--- cost split profile ---", flush=True)
+
+    def model_decode(model, params, cfg):
+        def run():
+            return gen.generate_kv_cache(
+                model, params, cfg, prompt, max_gen=MAX_GEN, temp=0.0, eos_ids=-1, pad_id=0
+            )["sequences"]
+
+        t, _ = time_call(run)
+        return t / MAX_GEN
+
+    t_tgt = model_decode(gpt2, t_params, TARGET_CFG)
+    t_dft = model_decode(gpt2, d_params, d_cfg)
+    print(f"target step: {t_tgt*1e6:7.1f} us/tok   draft step: {t_dft*1e6:7.1f} us/tok "
+          f"(ratio {t_dft/t_tgt:.2f} — FLOP ratio would be ~{_flop_ratio(d_cfg):.2f})", flush=True)
+
+    for gamma in gammas:
+        # verify cost: target over a (1, γ+1) cached window, N times in one jit
+        cache0 = gpt2.init_cache(TARGET_CFG, 1, PROMPT_LEN + MAX_GEN + 24)
+        window = jnp.zeros((1, gamma + 1), jnp.int32)
+
+        @jax.jit
+        def verify_loop(params, cache):
+            def body(i, carry):
+                cache, acc = carry
+                cache = {**cache, "pos": PROMPT_LEN}
+                logits, cache, _ = gpt2.apply(params, TARGET_CFG, window + (acc % 7).astype(jnp.int32),
+                                              cache=cache)
+                return (cache, acc + logits[0, -1, 0].astype(jnp.float32))
+
+            _, acc = jax.lax.fori_loop(0, 50, body, (cache, jnp.float32(0)))
+            return acc
+
+        verify_loop(t_params, cache0).block_until_ready()
+        t0 = time.perf_counter()
+        verify_loop(t_params, cache0).block_until_ready()
+        t_ver = (time.perf_counter() - t0) / 50
+        model_cost = gamma * t_dft + t_ver
+        model_speedup = lambda a: (gamma * a + 1) * t_tgt / model_cost
+        print(f"γ={gamma:2d}: verify {t_ver*1e6:7.1f} us/window  draft {gamma*t_dft*1e6:7.1f} us  "
+              f"→ draft share {gamma*t_dft/model_cost:5.1%}; model speedup at a=0.85: "
+              f"{model_speedup(0.85):.2f}x", flush=True)
+    return t_tgt, t_dft
+
+
+def _flop_ratio(d_cfg):
+    f = lambda c: c["n_layers"] * c["emb_dim"] ** 2 * 12
+    return f(d_cfg) / f(TARGET_CFG)
+
+
 def main():
     corpus = markov_corpus(200_000)
     print("training target (6L/384d)...", flush=True)
@@ -101,6 +192,10 @@ def main():
     print("training draft (2L/192d)...", flush=True)
     d_params, d_loss = train(gpt2, DRAFT_CFG, corpus, TRAIN_STEPS, seed=2)
     print(f"  draft final loss {d_loss:.3f}", flush=True)
+    print("distilling tiny draft (1L/128d) from the target...", flush=True)
+    tiny_params, kl = distill(gpt2, TINY_DRAFT_CFG, t_params, TARGET_CFG, corpus,
+                              TRAIN_STEPS, seed=3)
+    print(f"  tiny draft final KL {kl:.3f}", flush=True)
 
     prompt = jnp.asarray(corpus[:PROMPT_LEN][None].astype(np.int32))
 
@@ -116,35 +211,44 @@ def main():
 
     results = {"plain_tok_s": round(plain_tok_s, 1)}
     speedups = []
-    for gamma in (1, 2, 4, 8):
-        spec = jax.jit(
-            lambda: speculative_generate(
-                gpt2, t_params, TARGET_CFG, gpt2, d_params, DRAFT_CFG, prompt,
-                max_gen=MAX_GEN, draft_max_gen=gamma, temp=0.0, eos_id=None,
+    best = 0.0
+    for draft_name, dp, dc in (("2L/192 markov", d_params, DRAFT_CFG),
+                               ("1L/128 distilled", tiny_params, TINY_DRAFT_CFG)):
+        print(f"-- draft: {draft_name} --", flush=True)
+        for gamma in (1, 2, 4, 8, 12, 16):
+            spec = jax.jit(
+                lambda dp=dp, dc=dc, gamma=gamma: speculative_generate(
+                    gpt2, t_params, TARGET_CFG, gpt2, dp, dc, prompt,
+                    max_gen=MAX_GEN, draft_max_gen=gamma, temp=0.0, eos_id=None,
+                )
             )
-        )
-        t_spec, out = time_call(spec)
-        n_gen = int(out["num_generated"])
-        n_steps = int(out["num_steps"])
-        tok_s = n_gen / t_spec
-        # per step the target commits n_accepted+1 tokens; acceptance rate =
-        # fraction of drafted tokens kept
-        acc = (n_gen - n_steps) / max(n_steps * gamma, 1)
-        sp = tok_s / plain_tok_s
-        speedups.append(sp)
-        results[f"gamma{gamma}"] = {"tok_s": round(tok_s, 1), "speedup": round(sp, 2), "accept": round(acc, 3)}
-        print(
-            f"spec γ={gamma}:     {tok_s:8.1f} tok/s  speedup {sp:4.2f}x  "
-            f"acceptance {acc:5.1%}  ({n_steps} steps for {n_gen} tok)",
-            flush=True,
-        )
+            t_spec, out = time_call(spec)
+            n_gen = int(out["num_generated"])
+            n_steps = int(out["num_steps"])
+            tok_s = n_gen / t_spec
+            # per step the target commits n_accepted+1 tokens; acceptance rate
+            # = fraction of drafted tokens kept
+            acc = (n_gen - n_steps) / max(n_steps * gamma, 1)
+            sp = tok_s / plain_tok_s
+            if draft_name.endswith("markov") and gamma in (1, 2, 4, 8):
+                speedups.append(sp)  # keep the reference-comparable avg
+            best = max(best, sp)
+            key = f"gamma{gamma}" + ("" if draft_name.endswith("markov") else "_distilled")
+            results[key] = {"tok_s": round(tok_s, 1), "speedup": round(sp, 2), "accept": round(acc, 3)}
+            print(
+                f"spec γ={gamma:2d}:    {tok_s:8.1f} tok/s  speedup {sp:4.2f}x  "
+                f"acceptance {acc:5.1%}  ({n_steps} steps for {n_gen} tok)",
+                flush=True,
+            )
+
+    profile_split(t_params, tiny_params, TINY_DRAFT_CFG, prompt, (4, 8, 16))
 
     # greedy losslessness sanity: spec output must match plain decode
     match = bool(jnp.all(out["sequences"][:, : PROMPT_LEN + int(out["num_generated"])]
                          == plain_seq[:, : PROMPT_LEN + int(out["num_generated"])]))
     results["lossless_greedy"] = match
     results["avg_speedup"] = round(float(np.mean(speedups)), 2)
-    results["best_speedup"] = round(float(np.max(speedups)), 2)
+    results["best_speedup"] = round(best, 2)
     results["reference_avg_speedup"] = 1.85
     print(json.dumps(results), flush=True)
 
