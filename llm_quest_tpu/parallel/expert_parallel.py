@@ -93,6 +93,114 @@ def _expert_mlp_batched(experts, buf, activation):
     return out
 
 
+def _ep_dispatch_local(experts_local, x2d, topk_idxs, topk_weights, *,
+                       num_experts, n_ep, capacity, ep_axis, activation):
+    """The routing-independent EP core, called INSIDE a shard_map body:
+    capacity-bucket local (token, slot) assignments → all_to_all to expert
+    shards → dense batched resident-expert MLP → all_to_all back → weighted
+    combine. Returns (out2d (T_loc, d), counts_local (E,) fp32)."""
+    t, d = x2d.shape
+    top_k = topk_idxs.shape[-1]
+    e_loc = num_experts // n_ep
+    flat_e = topk_idxs.reshape(-1)
+    flat_w = topk_weights.reshape(-1)
+    token_of = jnp.repeat(jnp.arange(t), top_k)
+
+    buf, pos_c, keep = _bucket(x2d[token_of], flat_e, num_experts, capacity)
+    buf = buf.reshape(n_ep, e_loc, capacity, d)
+    recv = lax.all_to_all(buf, ep_axis, split_axis=0, concat_axis=0, tiled=False)
+    recv = recv.reshape(n_ep, e_loc, capacity, d).transpose(1, 0, 2, 3)
+    recv = recv.reshape(e_loc, n_ep * capacity, d)
+
+    out_buf = _expert_mlp_batched(experts_local, recv, activation)
+
+    out_buf = out_buf.reshape(e_loc, n_ep, capacity, -1).transpose(1, 0, 2, 3)
+    back = lax.all_to_all(out_buf, ep_axis, split_axis=0, concat_axis=0, tiled=False)
+    d_out = back.shape[-1]
+    back = back.reshape(num_experts, capacity, d_out)
+    res = back[flat_e, pos_c] * (keep.astype(jnp.float32) * flat_w)[:, None].astype(back.dtype)
+    out2d = jnp.zeros((t, d_out), res.dtype).at[token_of].add(res)
+
+    counts = lax.stop_gradient(
+        jnp.sum(jax.nn.one_hot(flat_e, num_experts, dtype=jnp.float32), axis=0)
+    )
+    return out2d, counts
+
+
+def ep_deepseek_moe(
+    mesh,
+    params,
+    x,
+    *,
+    top_k,
+    capacity_factor=None,
+    ep_axis="model",
+    data_axis="data",
+    activation=silu,
+):
+    """DeepSeekMoE through the explicit EP dispatch: shared + routed experts,
+    softmax probs with aux-loss-FREE biased top-k selection (behavior parity
+    with ops.moe.deepseek_moe / reference deepseek_moe.py:132-229). Shared
+    experts run locally (every token, no communication); routed experts
+    dispatch via the 2-all_to_all pattern. aux carries GLOBAL "counts" (for
+    the post-step bias fold) and "max_vio"."""
+    from llm_quest_tpu.ops.moe import max_violation
+
+    num_routed = params["gate_w"].shape[-1]
+    n_ep = mesh.shape[ep_axis]
+    n_data = mesh.shape[data_axis]
+    b, s, d = x.shape
+    assert b % (n_ep * n_data) == 0, f"batch {b} must divide over {n_data}x{n_ep} devices"
+    assert num_routed % n_ep == 0
+    t_loc = (b // (n_ep * n_data)) * s
+    capacity = capacity_for(t_loc, top_k, num_routed, capacity_factor)
+    has_shared = "shared" in params
+
+    param_specs = {
+        "routed": {k: P(ep_axis) for k in params["routed"]},
+        "gate_w": P(),
+        "gate_b": P(),
+        "biases": P(),
+    }
+    if has_shared:
+        param_specs["shared"] = {k: P() for k in params["shared"]}
+    tok_spec = P((data_axis, ep_axis))
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(param_specs, tok_spec),
+        out_specs=(tok_spec, {"counts": P(), "max_vio": P()}),
+        check_vma=False,
+    )
+    def run(p, x_loc):
+        b_loc = x_loc.shape[0]
+        x2d = x_loc.reshape(-1, d)
+
+        out2d = jnp.zeros_like(x2d)
+        if has_shared:
+            out2d = out2d + _shared_experts_sum(p["shared"], x2d, activation)
+
+        gate_logits = x2d @ p["gate_w"] + p["gate_b"]
+        gate_probas = jax.nn.softmax(gate_logits.astype(jnp.float32), axis=-1)
+        biased = gate_probas + p["biases"]
+        topk_idxs = lax.top_k(biased, top_k)[1]
+        topk_probas = jnp.take_along_axis(gate_probas, topk_idxs, axis=-1)
+        topk_probas = topk_probas / jnp.sum(topk_probas, axis=-1, keepdims=True)
+
+        routed_out, counts_local = _ep_dispatch_local(
+            p["routed"], x2d, topk_idxs, topk_probas,
+            num_experts=num_routed, n_ep=n_ep, capacity=capacity,
+            ep_axis=ep_axis, activation=activation,
+        )
+        out2d = out2d + routed_out
+
+        counts = lax.psum(counts_local, (data_axis, ep_axis))
+        return out2d.reshape(b_loc, s, d), {"counts": counts, "max_vio": max_violation(counts)}
+
+    return run(params, x)
+
+
 def ep_qwen3_moe(
     mesh,
     params,
@@ -154,27 +262,12 @@ def ep_qwen3_moe(
         topk_probas, topk_idxs = lax.top_k(gate_probas, top_k)
         topk_probas = topk_probas / jnp.sum(topk_probas, axis=-1, keepdims=True)
 
-        flat_e = topk_idxs.reshape(-1)  # (T_loc·k,)
-        flat_w = topk_probas.reshape(-1)
-        token_of = jnp.repeat(jnp.arange(t), top_k)
-
-        # --- capacity bucketing + dispatch all_to_all over the EP axis ---
-        buf, pos_c, keep = _bucket(x2d[token_of], flat_e, num_experts, capacity)
-        buf = buf.reshape(n_ep, e_loc, capacity, d)
-        recv = lax.all_to_all(buf, ep_axis, split_axis=0, concat_axis=0, tiled=False)
-        # recv[src] = tokens device `src` routed to MY resident experts
-        recv = recv.reshape(n_ep, e_loc, capacity, d).transpose(1, 0, 2, 3)
-        recv = recv.reshape(e_loc, n_ep * capacity, d)
-
-        # --- resident expert compute (dense batched MXU matmuls) ---
-        out_buf = _expert_mlp_batched(p["experts"], recv, activation)
-
-        # --- return all_to_all + weighted combine ---
-        out_buf = out_buf.reshape(e_loc, n_ep, capacity, d).transpose(1, 0, 2, 3)
-        back = lax.all_to_all(out_buf, ep_axis, split_axis=0, concat_axis=0, tiled=False)
-        back = back.reshape(num_experts, capacity, d)
-        res = back[flat_e, pos_c] * (keep.astype(jnp.float32) * flat_w)[:, None].astype(x2d.dtype)
-        out2d = jnp.zeros((t, d), res.dtype).at[token_of].add(res)
+        # --- capacity bucketing + 2-all_to_all dispatch + weighted combine ---
+        out2d, counts_local = _ep_dispatch_local(
+            p["experts"], x2d, topk_idxs, topk_probas,
+            num_experts=num_experts, n_ep=n_ep, capacity=capacity,
+            ep_axis=ep_axis, activation=activation,
+        )
 
         # --- shared expert: local, no communication ---
         if has_shared:
@@ -185,10 +278,7 @@ def ep_qwen3_moe(
         aux = {"gate_probas": gate_probas, "counts": jnp.zeros((num_experts,), jnp.float32),
                "moe_loss": jnp.float32(0.0)}
         # --- GLOBAL load-balance loss: psum counts/probs over all token shards ---
-        counts = lax.stop_gradient(
-            jnp.sum(jax.nn.one_hot(flat_e, num_experts, dtype=jnp.float32), axis=0)
-        )
-        counts = lax.psum(counts, (data_axis, ep_axis))
+        counts = lax.psum(counts_local, (data_axis, ep_axis))
         aux["counts"] = counts
         if training:
             p_sum = lax.psum(jnp.sum(gate_probas, axis=0), (data_axis, ep_axis))

@@ -37,125 +37,104 @@ def log(msg):
     print(msg, flush=True)
 
 
-def _qk_kernel(q_ref, k_ref, o_ref, *, acc_dtype):
+
+def _attn_kernel(t_ref, q_ref, k_ref, v_ref, o_ref, *, acc_dtype):
+    """One fused attention-core program: s = q·kᵀ (scores stay in VMEM),
+    o = cast(s)·(v+t). ``t`` is a tiny bf16 per-iteration perturbation input:
+    the kernel is opaque to XLA, so ANY changing input defeats loop hoisting
+    of the whole program (an int8 t block crashes Mosaic — sub-tile int8)."""
+    s = jax.lax.dot_general(
+        q_ref[...], k_ref[...], (((2,), (2,)), ((0,), (0,))), preferred_element_type=acc_dtype
+    )
+    pv = s.astype(jnp.bfloat16)
     o_ref[...] = jax.lax.dot_general(
-        q_ref[...], k_ref[...],
-        (((2,), (2,)), ((0,), (0,))),  # batched over the pair dim, contract d
-        preferred_element_type=acc_dtype,
+        pv, v_ref[...] + t_ref[0], (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
     ).astype(o_ref.dtype)
 
 
-def make_pallas_qk(dtype, d, acc_dtype, out_dtype):
-    spec_in = pl.BlockSpec((GB, M, d), lambda g: (g, 0, 0), memory_space=pltpu.VMEM)
-    spec_out = pl.BlockSpec((GB, M, M), lambda g: (g, 0, 0), memory_space=pltpu.VMEM)
+def make_attn_core(score_dtype, d, acc_dtype, m=M):
+    spec_qk = pl.BlockSpec((GB, m, d), lambda g: (g, 0, 0), memory_space=pltpu.VMEM)
+    spec_v = pl.BlockSpec((GB, m, K), lambda g: (g, 0, 0), memory_space=pltpu.VMEM)
+    spec_t = pl.BlockSpec((1, 1, K), lambda g: (0, 0, 0), memory_space=pltpu.VMEM)
+    spec_out = pl.BlockSpec((GB, m, K), lambda g: (g, 0, 0), memory_space=pltpu.VMEM)
 
     @jax.jit
-    def run(q, k):
+    def run(t, q, k, v):
         return pl.pallas_call(
-            functools.partial(_qk_kernel, acc_dtype=acc_dtype),
+            functools.partial(_attn_kernel, acc_dtype=acc_dtype),
             grid=(G // GB,),
-            in_specs=[spec_in, spec_in],
+            in_specs=[spec_t, spec_qk, spec_qk, spec_v],
             out_specs=spec_out,
-            out_shape=jax.ShapeDtypeStruct((G, M, M), out_dtype),
-        )(q, k)
+            out_shape=jax.ShapeDtypeStruct((G, m, K), jnp.bfloat16),
+        )(t, q, k, v)
 
     return run
 
 
-def timed(fn, q, k, label, flops, consume_full=False):
-    # one jitted loop, ONE host transfer (tunnel-safe). The carry perturbs one
-    # input element each iteration — without that, q/k are loop-invariant and
-    # XLA hoists the entire matmul OUT of the loop (measured: a fake
-    # 4375 "TFLOP/s" = 1 iteration's time / N). ``consume_full`` reduces the
-    # whole output (needed for XLA dots, where slice(dot) simplifies to a
-    # smaller dot; pallas_call is opaque so one element suffices).
+def timed(fn, q, k, v, label, flops):
+    """N-vs-1 loop differencing with float() transfers (the tunnel's
+    block_until_ready returns early); the carry feeds a TINY (1, 1, d)
+    perturbation input so every iteration must recompute, at no copy cost."""
+
     @functools.partial(jax.jit, static_argnames=("n",))
-    def loop(q, k, n):
-        def body(i, carry):
-            acc, q = carry
-            o = fn(q, k)
-            tick = (jnp.sum(o.astype(jnp.float32)) if consume_full
-                    else o[0, 0, 0].astype(jnp.float32))
-            bump = jnp.where(tick >= 0, 1, -1)
-            if q.dtype == jnp.int8:
-                q = q.at[0, 0, 0].add(bump.astype(jnp.int8))
-            else:
-                q = q.at[0, 0, 0].add(bump.astype(q.dtype) * q.dtype.type(1e-2))
-            return (acc + tick, q)
+    def loop(q, k, v, n):
+        def body(i, acc):
+            t = (jnp.sign(acc) * 0.01 * jnp.ones((1, 1, v.shape[-1]))).astype(jnp.bfloat16)
+            o = fn(t, q, k, v)
+            return acc + o[0, 0, 0].astype(jnp.float32)
 
-        acc, _ = jax.lax.fori_loop(0, n, body, (jnp.float32(0.0), q))
-        return acc
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
-    # block_until_ready returns EARLY over the axon tunnel (verify skill);
-    # float() forces a real device→host transfer. The constant RTT cancels by
-    # differencing an N-iteration loop against a 1-iteration loop.
-    float(loop(q, k, N_ITERS))  # compile big
-    float(loop(q, k, 1))  # compile small
+    float(loop(q, k, v, N_ITERS))
+    float(loop(q, k, v, 1))
     t0 = time.perf_counter()
-    float(loop(q, k, N_ITERS))
+    float(loop(q, k, v, N_ITERS))
     t_big = time.perf_counter() - t0
     t0 = time.perf_counter()
-    float(loop(q, k, 1))
+    float(loop(q, k, v, 1))
     t_small = time.perf_counter() - t0
     dt = max(t_big - t_small, 1e-9) / (N_ITERS - 1)
-    log(f"{label:44s} {dt*1e3:7.3f} ms  {flops/dt/1e12:6.1f} TFLOP/s")
+    log(f"{label:46s} {dt*1e3:7.3f} ms  {flops/dt/1e12:6.1f} TFLOP/s")
     return dt
 
 
 def main():
     assert jax.default_backend() == "tpu", jax.devices()
     key = jax.random.PRNGKey(0)
-    flops = 2 * G * M * M * K
+    flops = 4 * G * M * M * K  # QK^T + AV
 
-    # bf16 baseline at the real shape
-    qb = jax.random.normal(key, (G, M, K), jnp.bfloat16)
     kb = jax.random.normal(key, (G, M, K), jnp.bfloat16)
-    t_bf16 = timed(make_pallas_qk(jnp.bfloat16, K, jnp.float32, jnp.float32),
-                   qb, kb, f"pallas bf16 ({M},{K})x({K},{M}) fp32 acc", flops)
+    vb = jax.random.normal(key, (G, M, K), jnp.bfloat16)
+    qb = jax.random.normal(key, (G, M, K), jnp.bfloat16)
+    qi = (qb * 16).astype(jnp.int8)
+    ki = (kb * 16).astype(jnp.int8)
 
-    # int8 at the same shape (d padded to 128 lanes inside VMEM anyway)
-    qi = (jax.random.normal(key, (G, M, K)) * 16).astype(jnp.int8)
-    ki = (jax.random.normal(key, (G, M, K)) * 16).astype(jnp.int8)
+    t_bf16 = timed(make_attn_core(jnp.bfloat16, K, jnp.float32), qb, kb, vb,
+                   "attn core bf16 scores (QKt+AV, VMEM scores)", flops)
+
+    # int8 tile rules: min tile (32, 128) — M=208 and K=64 are both illegal
+    # for int8 operands, so the int8 variant runs at the NEXT LEGAL padding
+    # (M=224, K=128, zero-filled). Same useful FLOPs; the comparison is
+    # wall-clock for the same logical attention core.
+    qi = jnp.zeros((G, 224, 128), jnp.int8).at[:, :208, :K].set((qb * 16).astype(jnp.int8))
+    ki = jnp.zeros((G, 224, 128), jnp.int8).at[:, :208, :K].set((kb * 16).astype(jnp.int8))
+    vp = jnp.zeros((G, 224, K), jnp.bfloat16).at[:, :208, :].set(vb)
     try:
-        t_int8 = timed(make_pallas_qk(jnp.int8, K, jnp.int32, jnp.int32),
-                       qi, ki, f"pallas int8 ({M},{K})x({K},{M}) int32 acc", flops)
+        t_int8 = timed(make_attn_core(jnp.int8, 128, jnp.int32, m=224), qi, ki, vp,
+                       "attn core int8 scores (224,128 padded)", flops)
     except Exception as e:
-        log(f"pallas int8 K={K} failed: {type(e).__name__}: {str(e)[:200]}")
+        log(f"int8 attn core failed: {type(e).__name__}: {str(e)[:300]}")
         t_int8 = None
 
-    # int8 with K=128 (full int8 tile depth): does the 2x peak appear at all?
-    flops2 = 2 * G * M * M * 128
-    qi2 = (jax.random.normal(key, (G, M, 128)) * 16).astype(jnp.int8)
-    ki2 = (jax.random.normal(key, (G, M, 128)) * 16).astype(jnp.int8)
-    qb2 = jax.random.normal(key, (G, M, 128), jnp.bfloat16)
-    kb2 = jax.random.normal(key, (G, M, 128), jnp.bfloat16)
-    try:
-        timed(make_pallas_qk(jnp.bfloat16, 128, jnp.float32, jnp.float32),
-              qb2, kb2, f"pallas bf16 ({M},128)x(128,{M})", flops2)
-        timed(make_pallas_qk(jnp.int8, 128, jnp.int32, jnp.int32),
-              qi2, ki2, f"pallas int8 ({M},128)x(128,{M})", flops2)
-    except Exception as e:
-        log(f"pallas K=128 variant failed: {type(e).__name__}: {str(e)[:200]}")
-
-    # XLA lowering comparison
-    def xla_qk(acc):
-        @jax.jit
-        def run(q, k):
-            return jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
-                                       preferred_element_type=acc)
-        return run
-
-    timed(xla_qk(jnp.float32), qb, kb, "XLA bf16 batched dot (+full reduce)", flops, consume_full=True)
-    try:
-        timed(xla_qk(jnp.int32), qi, ki, "XLA int8 batched dot (+full reduce)", flops, consume_full=True)
-    except Exception as e:
-        log(f"XLA int8 failed: {type(e).__name__}: {str(e)[:200]}")
-
     if t_int8 is not None:
-        speedup = t_bf16 / t_int8
-        log(f"\nint8/bf16 speedup at ViT shape: {speedup:.2f}x")
-        # attention core is 11.2 ms of the 35.3 ms encode; scores are ~half of it
-        log("needed for >=4000 img/s: attention core <= 8.3 ms (1.35x overall attention speedup)")
+        log(f"\nattention-core speedup from int8 scores: {t_bf16/t_int8:.2f}x")
+        log("ViT-B needs the 11.2 ms attention core at <= 8.3 ms (1.35x) for 4000 img/s;")
+        log(f"int8 scores deliver core time x{t_int8/t_bf16:.2f} -> "
+            f"{11.2*t_int8/t_bf16:.1f} ms equivalent")
+    # NOTE: XLA dot_general variants were removed from this ablation — XLA's
+    # algebraic simplifier rewrites sum(dot(q, k^T)) into dot(q, sum(k)) (a
+    # matvec), producing impossible 200-340 "TFLOP/s" readings. Only the
+    # opaque Pallas kernels measure the real MXU rate.
 
 
 if __name__ == "__main__":

@@ -33,11 +33,11 @@ TRAIN_STEPS = int(os.environ.get("SPEC_TRAIN_STEPS", 300))
 BATCH = 32
 
 TARGET_CFG = {
-    "vocab_size": VOCAB, "context_length": PROMPT_LEN + MAX_GEN + 16, "emb_dim": 384,
+    "vocab_size": VOCAB, "context_length": PROMPT_LEN + MAX_GEN + 24, "emb_dim": 384,
     "n_heads": 6, "n_layers": 6, "drop_rate": 0.0, "qkv_bias": True,
 }
 DRAFT_CFG = {
-    "vocab_size": VOCAB, "context_length": PROMPT_LEN + MAX_GEN + 16, "emb_dim": 192,
+    "vocab_size": VOCAB, "context_length": PROMPT_LEN + MAX_GEN + 24, "emb_dim": 192,
     "n_heads": 3, "n_layers": 2, "drop_rate": 0.0, "qkv_bias": True,
 }
 
@@ -84,13 +84,22 @@ def train(model, cfg, corpus, steps, seed):
 
 
 def time_call(fn, n=5):
-    fn()  # compile + warm
-    jax.block_until_ready(fn())
+    """Time n dispatches + ONE host transfer (programs execute in order on
+    the single TPU stream, so the final transfer syncs them all); the
+    measured RTT of a bare transfer is subtracted. block_until_ready is NOT
+    trusted — it can return early over the axon tunnel."""
+    out = fn()  # compile + warm
+    leaf = jax.tree.leaves(out)[0]
+    np.asarray(leaf)
+    t0 = time.perf_counter()
+    np.asarray(leaf)
+    rtt = time.perf_counter() - t0
     t0 = time.perf_counter()
     for _ in range(n):
         out = fn()
-    jax.block_until_ready(jax.tree.leaves(out))
-    return (time.perf_counter() - t0) / n, out
+    np.asarray(jax.tree.leaves(out)[0])
+    dt = max(time.perf_counter() - t0 - rtt, 1e-9) / n
+    return dt, out
 
 
 TINY_DRAFT_CFG = {
@@ -167,9 +176,9 @@ def profile_split(t_params, d_params, d_cfg, prompt, gammas):
             _, acc = jax.lax.fori_loop(0, 50, body, (cache, jnp.float32(0)))
             return acc
 
-        verify_loop(t_params, cache0).block_until_ready()
+        float(verify_loop(t_params, cache0))  # compile; float = true sync (tunnel)
         t0 = time.perf_counter()
-        verify_loop(t_params, cache0).block_until_ready()
+        float(verify_loop(t_params, cache0))
         t_ver = (time.perf_counter() - t0) / 50
         model_cost = gamma * t_dft + t_ver
         model_speedup = lambda a: (gamma * a + 1) * t_tgt / model_cost

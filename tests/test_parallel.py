@@ -488,3 +488,22 @@ def test_context_parallel_falls_back_when_unshardable(mesh8):
     with mesh8:
         got, _, _ = qwen3.apply(params, cp_cfg, ids)
     assert float(jnp.max(jnp.abs(ref - got))) < 1e-5
+
+
+def test_ep_deepseek_moe_matches_dense_dispatch(mesh8):
+    """DeepSeekMoE (shared experts + aux-free biased top-k) through the
+    all-to-all EP dispatch == the single-device path, incl. global counts."""
+    from llm_quest_tpu.ops.moe import deepseek_moe, init_deepseek_moe
+    from llm_quest_tpu.parallel.expert_parallel import ep_deepseek_moe
+
+    cfg = {"emb_dim": 32, "hidden_dim": 64, "num_experts": 10, "num_shared_experts": 2,
+           "top_k": 2, "moe_scaling_factor": "auto"}
+    params = init_deepseek_moe(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    params["biases"] = params["biases"] + jax.random.normal(jax.random.PRNGKey(9), params["biases"].shape) * 0.01
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 6, 32), jnp.float32)
+
+    ref_out, ref_aux = deepseek_moe(params, x, top_k=2)
+    got_out, got_aux = ep_deepseek_moe(mesh8, params, x, top_k=2, capacity_factor=None)
+    assert float(jnp.max(jnp.abs(ref_out - got_out))) < 1e-5
+    assert jnp.allclose(ref_aux["counts"], got_aux["counts"])
+    assert abs(float(ref_aux["max_vio"]) - float(got_aux["max_vio"])) < 1e-6
