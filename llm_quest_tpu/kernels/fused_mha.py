@@ -211,7 +211,7 @@ def _packed_mha_impl(q, k, v, *, n_heads, scale=None, imgs=1, interpret=False):
 # ---------------------------------------------------------- int8-score packed MHA
 
 def _packed_mha_int8_kernel(q_ref, k_ref, v_ref, qs_ref, ks_ref, o_ref, *,
-                            scale, s_real, head_dim, imgs):
+                            scale, s_real, head_dim, imgs, static_dq=None):
     """Packed MHA with INT8 score matmuls: q/k arrive pre-quantized int8
     (per-tensor dynamic scales in SMEM), QKᵀ runs on the MXU int8 path
     (measured 1.59× the bf16 rate at ViT shapes — the single-MXU small-K
@@ -221,7 +221,9 @@ def _packed_mha_int8_kernel(q_ref, k_ref, v_ref, qs_ref, ks_ref, o_ref, *,
     while the XLA quantize fuses into the projection epilogue and HALVES
     the q/k HBM read traffic."""
     s_pad, hd = q_ref.shape[1], q_ref.shape[2]
-    dq_scale = qs_ref[0] * ks_ref[0] * scale  # fp32 dequant·attention scale
+    # dequant·attention scale: a STATIC (calibrated) scale folds to a compile-
+    # time constant and needs no SMEM operands; dynamic scales arrive in SMEM
+    dq_scale = static_dq if static_dq is not None else qs_ref[0] * ks_ref[0] * scale
     col2d = lax.broadcasted_iota(jnp.int32, (s_pad, s_pad), 1)
     key_pad_mask = col2d >= s_real
     row1d = lax.broadcasted_iota(jnp.int32, (s_pad, 1), 0)
@@ -259,48 +261,80 @@ def _quantize_sym(x):
     return xi, s
 
 
-@functools.partial(jax.jit, static_argnames=("n_heads", "scale", "imgs", "interpret"))
-def _packed_mha_int8_impl(q, k, v, *, n_heads, scale=None, imgs=1, interpret=False):
+@functools.partial(
+    jax.jit, static_argnames=("n_heads", "scale", "imgs", "interpret", "static_scales")
+)
+def _packed_mha_int8_impl(q, k, v, *, n_heads, scale=None, imgs=1, interpret=False,
+                          static_scales=None):
     b, s, hd = q.shape
     d = hd // n_heads
     assert 128 % d == 0 and hd % 128 == 0, (n_heads, d, hd)
     if scale is None:
         scale = d**-0.5
-    s_pad = -(-s // 32) * 32  # int8 sublane alignment
+    s_pad = -(-s // 16) * 16  # measured: int8 dots accept 16-mult sublanes
     if b % imgs:
         imgs = next(g for g in range(min(imgs, b), 0, -1) if b % g == 0)
 
-    qi, qs = _quantize_sym(q)
-    ki, ks = _quantize_sym(k)
+    if static_scales is not None:
+        # CALIBRATED scales (PTQ): the quantize is a pure elementwise epilogue
+        # XLA fuses into the q/k projections — the dynamic per-tensor max is a
+        # global reduce that costs extra full HBM passes (measured: it eats
+        # the whole int8 win; 3500 vs 3601 img/s on ViT-B)
+        q_s, k_s = float(static_scales[0]), float(static_scales[1])
+        qi = jnp.clip(jnp.round(q.astype(jnp.float32) * (1.0 / q_s)), -127, 127).astype(jnp.int8)
+        ki = jnp.clip(jnp.round(k.astype(jnp.float32) * (1.0 / k_s)), -127, 127).astype(jnp.int8)
+        static_dq = q_s * k_s * float(scale)
+        scale_args, scale_specs = [], []
+    else:
+        qi, qs = _quantize_sym(q)
+        ki, ks = _quantize_sym(k)
+        static_dq = None
+        scale_args = [qs[None], ks[None]]
+        scale_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
     if s_pad != s:
         pad = ((0, 0), (0, s_pad - s), (0, 0))
         qi, ki, v = jnp.pad(qi, pad), jnp.pad(ki, pad), jnp.pad(v, pad)
 
     spec_i8 = pl.BlockSpec((imgs, s_pad, hd), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     spec_v = pl.BlockSpec((imgs, s_pad, hd), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    spec_s = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    def kernel(*refs):
+        if static_dq is not None:
+            q_r, k_r, v_r, o_r = refs
+            qs_r = ks_r = None
+        else:
+            q_r, k_r, v_r, qs_r, ks_r, o_r = refs
+        _packed_mha_int8_kernel(
+            q_r, k_r, v_r, qs_r, ks_r, o_r,
+            scale=float(scale), s_real=s, head_dim=d, imgs=imgs, static_dq=static_dq,
+        )
+
     out = pl.pallas_call(
-        functools.partial(_packed_mha_int8_kernel, scale=float(scale), s_real=s,
-                          head_dim=d, imgs=imgs),
+        kernel,
         grid=(b // imgs,),
-        in_specs=[spec_i8, spec_i8, spec_v, spec_s, spec_s],
+        in_specs=[spec_i8, spec_i8, spec_v] + scale_specs,
         out_specs=spec_v,
         out_shape=jax.ShapeDtypeStruct((b, s_pad, hd), q.dtype),
         interpret=interpret,
-    )(qi, ki, v, qs[None], ks[None])
+    )(qi, ki, v, *scale_args)
     return out[:, :s, :]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def packed_mha_int8(q, k, v, n_heads, scale=None, interpret=False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def packed_mha_int8(q, k, v, n_heads, scale=None, interpret=False, static_scales=None):
     """Int8-score packed MHA (see _packed_mha_int8_kernel). Differentiable
     with a straight-through estimator: the backward is the exact bf16 sdpa
-    vjp (quantization treated as identity), the standard QAT treatment."""
-    return _packed_mha_int8_impl(q, k, v, n_heads=n_heads, scale=scale, interpret=interpret)
+    vjp (quantization treated as identity), the standard QAT treatment.
+
+    static_scales: optional (q_scale, k_scale) floats from calibration —
+    makes quantization a fused epilogue (free) instead of a dynamic reduce."""
+    return _packed_mha_int8_impl(q, k, v, n_heads=n_heads, scale=scale, interpret=interpret,
+                                 static_scales=static_scales)
 
 
-def _packed_int8_fwd(q, k, v, n_heads, scale, interpret):
-    return _packed_mha_int8_impl(q, k, v, n_heads=n_heads, scale=scale, interpret=interpret), (q, k, v)
+def _packed_int8_fwd(q, k, v, n_heads, scale, interpret, static_scales):
+    return _packed_mha_int8_impl(q, k, v, n_heads=n_heads, scale=scale, interpret=interpret,
+                                 static_scales=static_scales), (q, k, v)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
@@ -330,5 +364,11 @@ def _packed_bwd(n_heads, scale, interpret, res, g):
     return vjp(g)
 
 
+def _packed_int8_bwd(n_heads, scale, interpret, static_scales, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(lambda q, k, v: _packed_sdpa_ref(q, k, v, n_heads, scale), q, k, v)
+    return vjp(g)
+
+
 packed_mha.defvjp(_packed_fwd, _packed_bwd)
-packed_mha_int8.defvjp(_packed_int8_fwd, _packed_bwd)
+packed_mha_int8.defvjp(_packed_int8_fwd, _packed_int8_bwd)

@@ -92,17 +92,49 @@ def init(key, cfg):
     }
 
 
-def _attention(params, cfg, x, rng, deterministic):
+def _attention(params, cfg, x, rng, deterministic, layer_idx=None):
     # bidirectional, maskless (reference: vit_attention.py:44-91); attention-
     # weight dropout approximated as output dropout under XLA fusion. The
     # packed path keeps the (b, s, h·d) projection layout end-to-end — no
     # split/merge head transposes (kernels/fused_mha.py::packed_mha on TPU)
     out = mha_packed(
         linear(params["wq"], x), linear(params["wk"], x), linear(params["wv"], x),
-        cfg["n_heads"], cfg=cfg,
+        cfg["n_heads"], cfg=cfg, layer_idx=layer_idx,
     )
     out = dropout(rng, out, cfg.get("drop_rate", 0.0), deterministic)
     return linear(params["out_proj"], out)
+
+
+def calibrate_int8_scales(params, cfg, x):
+    """Per-layer (q_scale, k_scale) for static int8 score quantization (PTQ).
+
+    Runs one fp forward on calibration images, capturing max|q| / max|k| at
+    each layer's attention input. Feed the result back as
+    cfg["int8_qk_scales"] (with cfg["int8_scores"]=True): the quantize then
+    compiles to a fused elementwise epilogue — the dynamic per-tensor max is
+    a global reduce whose extra HBM passes eat the int8 win (measured).
+    """
+    cfg = dict(cfg, int8_scores=False, drop_rate=0.0)
+
+    @jax.jit
+    def probe(params, x):
+        h = patch_embedding(params["patch_emb"], cfg, x)
+        h = h + params["pos_emb"].astype(h.dtype)
+        maxes = []
+        for block in params["blocks"]:
+            hn = layer_norm(block["ln_1"], h)
+            q = linear(block["att"]["wq"], hn)
+            k = linear(block["att"]["wk"], hn)
+            maxes.append(jnp.stack([jnp.max(jnp.abs(q.astype(jnp.float32))),
+                                    jnp.max(jnp.abs(k.astype(jnp.float32)))]))
+            residual = h
+            h = residual + _attention(block["att"], cfg, hn, None, True)
+            residual = h
+            h = residual + mlp_gelu(block["ffn"], layer_norm(block["ln_2"], h))
+        return jnp.stack(maxes)  # (n_layers, 2)
+
+    m = jax.device_get(probe(params, x))
+    return [(float(mq) / 127.0, float(mk) / 127.0) for mq, mk in m]
 
 
 def apply(params, cfg, x, *, output_hidden_states=False, deterministic=True, rng=None, **_):
@@ -118,7 +150,7 @@ def apply(params, cfg, x, *, output_hidden_states=False, deterministic=True, rng
     for i, block in enumerate(params["blocks"]):
         residual = h
         hn = layer_norm(block["ln_1"], h)
-        h = residual + dropout(rngs[1 + 2 * i], _attention(block["att"], cfg, hn, rngs[1 + 2 * i], deterministic), drop, deterministic)
+        h = residual + dropout(rngs[1 + 2 * i], _attention(block["att"], cfg, hn, rngs[1 + 2 * i], deterministic, layer_idx=i), drop, deterministic)
         residual = h
         hn = layer_norm(block["ln_2"], h)
         h = residual + dropout(rngs[2 + 2 * i], mlp_gelu(block["ffn"], hn), drop, deterministic)

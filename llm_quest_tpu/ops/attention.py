@@ -215,7 +215,7 @@ def attention(
     return sdpa(q, k, v, mask=mask, scale=scale, sink=sink, softcap=softcap)
 
 
-def mha_packed(q, k, v, n_heads, *, cfg=None, scale=None):
+def mha_packed(q, k, v, n_heads, *, cfg=None, scale=None, layer_idx=None):
     """Bidirectional maskless MHA on packed (b, s, h·d) projection outputs.
 
     On TPU this dispatches to the transpose-free packed Pallas kernel
@@ -237,10 +237,18 @@ def mha_packed(q, k, v, n_heads, *, cfg=None, scale=None):
         if cfg is not None and cfg.get("int8_scores", False):
             # int8 QKᵀ on the MXU int path (1.59× the bf16 small-K rate,
             # measured) with fp32 softmax — opt-in: ~1e-2 output deviation
-            # from per-tensor symmetric quantization of q/k
+            # from per-tensor symmetric quantization of q/k. With calibrated
+            # cfg["int8_qk_scales"] (per-layer (q_s, k_s)) the quantize fuses
+            # into the projections; otherwise a dynamic per-tensor max runs.
             from llm_quest_tpu.kernels.fused_mha import packed_mha_int8
 
-            return packed_mha_int8(q, k, v, n_heads, scale)
+            scales = cfg.get("int8_qk_scales")
+            if scales is not None:
+                if isinstance(scales[0], (tuple, list)):
+                    scales = tuple(scales[layer_idx if layer_idx is not None else 0])
+                else:
+                    scales = tuple(scales)
+            return packed_mha_int8(q, k, v, n_heads, scale, False, scales)
         from llm_quest_tpu.kernels.fused_mha import packed_mha
 
         return packed_mha(q, k, v, n_heads, scale)

@@ -326,3 +326,30 @@ def test_packed_mha_int8_scores():
 
     g = jax.grad(lambda q: jnp.sum(jnp.sin(packed_mha_int8(q, k, v, h, None, INTERPRET))))(q)
     assert bool(jnp.all(jnp.isfinite(g))) and float(jnp.abs(g).max()) > 0
+
+
+def test_packed_mha_int8_static_scales_and_calibration():
+    """Static (calibrated) scales: parity with the dynamic-quant path, and
+    the ViT calibration helper produces per-layer scales of the right shape."""
+    from llm_quest_tpu.kernels.fused_mha import packed_mha_int8
+    from llm_quest_tpu.models import vit
+    from llm_quest_tpu.ops.attention import merge_heads, sdpa, split_heads
+
+    b, s, h, d = 2, 60, 2, 64
+    q = jax.random.normal(jax.random.PRNGKey(0), (b, s, h * d)) * 0.7
+    k = jax.random.normal(jax.random.PRNGKey(1), (b, s, h * d)) * 0.7
+    v = jax.random.normal(jax.random.PRNGKey(2), (b, s, h * d))
+
+    qs = float(jnp.max(jnp.abs(q))) / 127.0
+    ks = float(jnp.max(jnp.abs(k))) / 127.0
+    ref = merge_heads(sdpa(split_heads(q, h), split_heads(k, h), split_heads(v, h)))
+    out = packed_mha_int8(q, k, v, h, None, INTERPRET, (qs, ks))
+    assert float(jnp.abs(ref - out).max()) < 0.05
+
+    cfg = {"img_width": 32, "img_height": 32, "patch_size": 8, "emb_dim": 128, "n_heads": 2,
+           "n_layers": 2, "hidden_dim": 256, "num_classes": 10, "num_channels": 3, "qkv_bias": True,
+           "drop_rate": 0.0, "dtype": jnp.float32}
+    params = vit.init(jax.random.PRNGKey(3), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(4), (2, 3, 32, 32))
+    scales = vit.calibrate_int8_scales(params, cfg, x)
+    assert len(scales) == 2 and all(len(p) == 2 and p[0] > 0 and p[1] > 0 for p in scales)
