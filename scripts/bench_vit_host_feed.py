@@ -15,6 +15,14 @@ This measures the full host→device→encode pipeline:
 Prints device-only throughput (folded-uint8 encode), single-buffered
 host-feed throughput, and double-buffered host-feed throughput.
 
+MEASURED (v5e-1 over the axon tunnel, 2026-08-17): single-buffered 152
+img/s, double-buffered 213 img/s (1.40× — the overlap works), device-
+resident 2006 img/s (RTT-polluted; the in-graph number is ~3.8k). The
+absolute host-feed rate here is the TUNNEL's ~23 MB/s (152 img/s ×
+150 KB/img), not a chip property: on real hardware the feed rides PCIe at
+GB/s, where uint8's 4× reduction (0.6 vs 2.4 GB/s at 4k img/s) plus this
+double buffering is exactly what keeps the ViT from starving.
+
 Run: PYTHONPATH=/root/repo:/root/.axon_site python -u scripts/bench_vit_host_feed.py
 """
 
