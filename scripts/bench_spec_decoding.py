@@ -193,6 +193,60 @@ def _flop_ratio(d_cfg):
     return f(d_cfg) / f(TARGET_CFG)
 
 
+def scale_projection():
+    """Measured cost structure at the REFERENCE's model scale (GPT-2 124M
+    draft + 774M target, random weights — step costs don't depend on the
+    weights), combined with this harness's measured acceptance rates. At toy
+    scale the ~110 µs/step dispatch floor makes the draft as expensive as the
+    target (FLOP ratio 2% but wall-clock ratio ~1), capping speedup below 2×;
+    this measures whether v5e clears 2× once the FLOP ratio materializes."""
+    print("\n--- reference-scale cost projection (random weights) ---", flush=True)
+    cfg_124 = {"vocab_size": 50_257, "context_length": 256, "emb_dim": 768,
+               "n_heads": 12, "n_layers": 12, "drop_rate": 0.0, "qkv_bias": True}
+    cfg_774 = {"vocab_size": 50_257, "context_length": 256, "emb_dim": 1280,
+               "n_heads": 20, "n_layers": 36, "drop_rate": 0.0, "qkv_bias": True}
+    prompt = jnp.ones((1, 16), jnp.int32)
+
+    costs = {}
+    for name, cfg in (("draft-124M", cfg_124), ("target-774M", cfg_774)):
+        params = gpt2.init(jax.random.PRNGKey(0), dict(cfg, dtype=jnp.bfloat16))
+
+        def run(params=params, cfg=cfg):
+            return gen.generate_kv_cache(
+                gpt2, params, cfg, prompt, max_gen=128, temp=0.0, eos_ids=-1, pad_id=0
+            )["sequences"]
+
+        t, _ = time_call(run, n=3)
+        costs[name] = t / 128
+        print(f"{name}: {t/128*1e6:8.1f} us/step", flush=True)
+
+        if name == "target-774M":
+            for gamma in (4, 8):
+                cache0 = gpt2.init_cache(cfg, 1, 256)
+                window = jnp.zeros((1, gamma + 1), jnp.int32)
+
+                @jax.jit
+                def vloop(params, cache, window=window):
+                    def body(i, carry):
+                        cache, acc = carry
+                        cache = {**cache, "pos": 16}
+                        logits, cache, _ = gpt2.apply(
+                            params, cfg, window + (acc % 7).astype(jnp.int32), cache=cache)
+                        return (cache, acc + logits[0, -1, 0].astype(jnp.float32))
+                    _, acc = jax.lax.fori_loop(0, 20, body, (cache, jnp.float32(0)))
+                    return acc
+
+                float(vloop(params, cache0))
+                t0 = time.perf_counter()
+                float(vloop(params, cache0))
+                t_ver = (time.perf_counter() - t0) / 20
+                c_d, c_t = costs["draft-124M"], costs["target-774M"]
+                for a in (0.70, 0.80):
+                    proj = (gamma * a + 1) * c_t / (gamma * c_d + t_ver)
+                    print(f"γ={gamma} verify {t_ver*1e6:7.1f} us; projected speedup at "
+                          f"acceptance {a:.0%}: {proj:.2f}x", flush=True)
+
+
 def main():
     corpus = markov_corpus(200_000)
     print("training target (6L/384d)...", flush=True)
@@ -251,6 +305,7 @@ def main():
             )
 
     profile_split(t_params, tiny_params, TINY_DRAFT_CFG, prompt, (4, 8, 16))
+    scale_projection()
 
     # greedy losslessness sanity: spec output must match plain decode
     match = bool(jnp.all(out["sequences"][:, : PROMPT_LEN + int(out["num_generated"])]
