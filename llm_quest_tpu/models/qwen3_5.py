@@ -266,11 +266,9 @@ def fused_gdn(params, cfg, x, attn_mask_cur, gdn_state):
         k = jnp.repeat(k, num_repeat, axis=1)
 
     prev = gdn_state["recurrent"] if gdn_state is not None else None
-    ctx, final_state = gdn_ops.gated_delta_rule_auto(
-        q, k, v, beta, alpha, prev_state=prev,
-        chunk_size=cfg.get("gdn_chunk_size", 64),
-        kernel_chunk_size=cfg.get("gdn_kernel_chunk_size", 128),
-        use_kernel=cfg.get("use_gdn_kernel", True),
+    # under cfg["context_parallel"] the LASP sequence-sharded form takes over
+    ctx, final_state = gdn_ops.gated_delta_rule_dispatch(
+        cfg, q, k, v, beta, alpha, prev_state=prev, allow_cp=gdn_state is None
     )
 
     out = _gdn_output(params, cfg, x, ctx)
@@ -456,7 +454,11 @@ def apply_text(
         position_ids = jnp.broadcast_to(position_ids[None], (3, b, s))
 
     k_len = cache["k"].shape[3] if cache is not None else s
-    mask = causal_mask(s, k_len, q_start=pos0, attn_mask=attn_mask)
+    # context parallelism skips the dense O(s²) mask: the attention router
+    # streams causality through the ring-flash kernel, and the GDN layers
+    # take the LASP sequence-sharded form (ops/gdn.py::gated_delta_rule_dispatch)
+    cp_active = cfg.get("context_parallel") is not None and cache is None and attn_mask is None
+    mask = None if cp_active else causal_mask(s, k_len, q_start=pos0, attn_mask=attn_mask)
     mask_cur = _cur_token_mask(attn_mask, s, pos0)
 
     # static query offset for cached prefill (see models/qwen3.py)

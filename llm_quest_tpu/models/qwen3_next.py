@@ -173,12 +173,10 @@ def gated_delta_net(params, cfg, x, attn_mask_cur, gdn_state):
 
     prev = gdn_state["recurrent"] if gdn_state is not None else None
     # long sequences → fused Pallas kernel on TPU / chunked XLA form (exact;
-    # MXU matmuls instead of an s-step recurrence); short ones → scan
-    ctx, final_state = gdn_ops.gated_delta_rule_auto(
-        q, k, v, beta, alpha, prev_state=prev,
-        chunk_size=cfg.get("gdn_chunk_size", 64),
-        kernel_chunk_size=cfg.get("gdn_kernel_chunk_size", 128),
-        use_kernel=cfg.get("use_gdn_kernel", True),
+    # MXU matmuls instead of an s-step recurrence); short ones → scan; under
+    # cfg["context_parallel"] → the LASP sequence-sharded form
+    ctx, final_state = gdn_ops.gated_delta_rule_dispatch(
+        cfg, q, k, v, beta, alpha, prev_state=prev, allow_cp=gdn_state is None
     )
 
     out = _gdn_output(params, cfg, x, ctx)
@@ -325,7 +323,11 @@ def apply(
         position_ids = (pos0 + jnp.arange(s))[None, :] * jnp.ones((b, 1), jnp.int32)
 
     k_len = cache["k"].shape[3] if cache is not None else s
-    mask = causal_mask(s, k_len, q_start=pos0, attn_mask=attn_mask)
+    # context parallelism skips the dense O(s²) mask: the attention router
+    # streams causality through the ring-flash kernel, and the GDN layers
+    # take the LASP sequence-sharded form (ops/gdn.py::gated_delta_rule_dispatch)
+    cp_active = cfg.get("context_parallel") is not None and cache is None and attn_mask is None
+    mask = None if cp_active else causal_mask(s, k_len, q_start=pos0, attn_mask=attn_mask)
     mask_cur = _cur_token_mask(attn_mask, s, pos0)
 
     h = embedding(params["tok_emb"], x)

@@ -133,6 +133,41 @@ def gated_delta_rule_auto(
     return gated_delta_rule(q, k, v, beta, alpha, prev_state=prev_state)
 
 
+def gated_delta_rule_dispatch(cfg, q, k, v, beta, alpha, prev_state=None, *, allow_cp=True):
+    """Model-level dispatch for the full-sequence gated delta rule: the
+    context-parallel LASP form (parallel/sequence.py::gdn_sequence_parallel)
+    when ``cfg["context_parallel"]`` is active and the sequence shards
+    evenly over its mesh axis, otherwise the single-device fast path
+    (``gated_delta_rule_auto``). Mirrors the attention router's CP hook
+    (ops/attention.py) so HYBRID models sequence-shard both layer types.
+
+    ``allow_cp``: models pass ``gdn_state is None`` — CP covers training /
+    uncached forwards, like the attention CP path (cached prefill keeps the
+    local form).
+    """
+    cp = cfg.get("context_parallel") if cfg is not None else None
+    s = q.shape[2]
+    if allow_cp and cp is not None:
+        axis = cp.get("axis", "data")
+        n_dev = cp["mesh"].shape[axis]
+        if s % n_dev == 0 and s // n_dev >= 2:
+            from llm_quest_tpu.parallel.sequence import gdn_sequence_parallel
+
+            return gdn_sequence_parallel(
+                cp["mesh"], axis, q, k, v, beta, alpha,
+                chunk_size=cfg.get("gdn_chunk_size", 64),
+                kernel_chunk_size=cfg.get("gdn_kernel_chunk_size", 128),
+                use_kernel=cfg.get("use_gdn_kernel", True),
+                prev_state=prev_state,
+            )
+    return gated_delta_rule_auto(
+        q, k, v, beta, alpha, prev_state=prev_state,
+        chunk_size=cfg.get("gdn_chunk_size", 64),
+        kernel_chunk_size=cfg.get("gdn_kernel_chunk_size", 128),
+        use_kernel=cfg.get("use_gdn_kernel", True),
+    )
+
+
 def init_conv1d(key, channels, kernel_size, *, dtype=jnp.float32):
     """Depthwise conv weights (channels, kernel_size), torch Conv1d init
     (kaiming-uniform with fan_in = kernel_size for groups=channels)."""
@@ -146,19 +181,24 @@ def causal_conv1d(params, x):
     x: (b, s, c) → (b, s, c); left-pads kernel_size-1 zeros so output t only
     sees inputs ≤ t (reference: qwen3_next_attention.py:313-340 with the
     [..., :seq_len] truncation).
+
+    Implemented as kernel_size shifted elementwise multiplies rather than a
+    grouped ``lax.conv_general_dilated``: a depthwise k≤4 conv never maps to
+    the MXU anyway (pure VPU work either way), and the grouped-conv
+    WEIGHT-grad miscounts by the replicated-axis factor when its cotangent
+    comes off a shard_map on a partially-used mesh (e.g. 2× on a
+    ("data", "model"=2) mesh — measured; the shift form transposes exactly),
+    which hybrid-model context parallelism hits.
     """
     w = params["w"]  # (c, k)
     c, ksz = w.shape
-    x_t = jnp.moveaxis(x, 1, 2)  # (b, c, s)
-    out = lax.conv_general_dilated(
-        x_t.astype(w.dtype),
-        w[:, None, :],  # (c, 1, k) — OIW with feature groups
-        window_strides=(1,),
-        padding=[(ksz - 1, 0)],
-        dimension_numbers=("NCH", "OIH", "NCH"),
-        feature_group_count=c,
-    )
-    return jnp.moveaxis(out, 1, 2).astype(x.dtype)  # (b, s, c)
+    s = x.shape[1]
+    xw = x.astype(w.dtype)
+    out = xw * w[:, ksz - 1]  # tap aligned with the current token
+    for j in range(ksz - 1):
+        shift = ksz - 1 - j
+        out = out + jnp.pad(xw, ((0, 0), (shift, 0), (0, 0)))[:, :s] * w[:, j]
+    return out.astype(x.dtype)
 
 
 def causal_conv1d_update(params, x_t, conv_state):
@@ -300,3 +340,93 @@ def gated_delta_rule_chunked(q, k, v, beta, alpha, prev_state=None, *, chunk_siz
     final_state, outs = lax.scan(chunk_step, prev_state, (qc, kc, vc, bc, ac))
     outs = jnp.moveaxis(outs, 0, 2).reshape(b, h, s_pad, dv)[:, :, :s, :]
     return outs.astype(dt), final_state
+
+
+def gdn_chunk_affine(kk, vv, bb, aa):
+    """One chunk of the gated delta rule as an AFFINE map of the incoming
+    state: S_C = S₀ @ T + C with
+
+        T = γ_C·I − Kᵀ·(diag(γ_C/γ)·X⁻¹·diag(βγ))ᵀ·K        (dk, dk)
+        C = −(diag(γ_C/γ)·X⁻¹·diag(β)·(−V))ᵀ·K … i.e. the zero-state update
+
+    (derived from gdn_chunk: d's S₀-dependence is X⁻¹·diag(βγ)·(K·S₀ᵀ), its
+    S₀-free part is −X⁻¹·diag(β)·V, and the state update subtracts
+    (ratio_c∘d)ᵀK from γ_C·S₀). This is what makes LINEAR-attention sequence
+    parallelism possible: shards compute (T, C) independently, prefix-compose
+    the affine maps, then evaluate pass B with the true incoming states
+    (parallel/sequence.py::gdn_sequence_parallel).
+
+    kk: (b, h, c, dk) fp32; vv: (b, h, c, dv) fp32; bb/aa: (b, h, c) fp32.
+    Returns (T (b, h, dk, dk), C (b, h, dv, dk)) fp32.
+    """
+    c = kk.shape[2]
+    dk = kk.shape[3]
+    tril_strict = jnp.tril(jnp.ones((c, c), bool), k=-1)
+    tril_incl = jnp.tril(jnp.ones((c, c), bool))
+    eye = jnp.eye(c, dtype=jnp.float32)
+
+    lgamma = jnp.cumsum(jnp.log(jnp.maximum(aa, 1e-30)), axis=-1)
+    gamma = jnp.exp(lgamma)
+    lr = lgamma[..., :, None] - lgamma[..., None, :]
+    ratio = jnp.where(tril_incl, jnp.exp(jnp.minimum(lr, 0.0)), 0.0)
+
+    kkT = jnp.einsum("bhtd,bhid->bhti", kk, kk)
+    m = eye + jnp.where(tril_strict, bb[..., :, None] * ratio * kkT, 0.0)
+    # exact inverse in ceil(log2(c)) Newton–Schulz steps (see gdn_chunk)
+    n_newton = max(1, (c - 1).bit_length())
+    x_inv = eye - (m - eye)
+    for _ in range(n_newton):
+        x_inv = x_inv @ (2.0 * eye - m @ x_inv)
+
+    lgamma_c = lgamma[..., -1:]
+    ratio_c = jnp.exp(jnp.minimum(lgamma_c - lgamma, 0.0))  # (b, h, c) = γ_C/γ
+    gamma_cc = jnp.exp(lgamma_c)[..., None]  # (b, h, 1, 1)
+
+    # T: P̃ = diag(ratio_c) · X⁻¹ · diag(βγ);  T = γ_C·I − Kᵀ P̃ᵀ K
+    p_t = ratio_c[..., :, None] * x_inv * (bb * gamma)[..., None, :]
+    g = jnp.einsum("bhie,bhti,bhtd->bhed", kk, p_t, kk)
+    t_chunk = gamma_cc * jnp.eye(dk, dtype=jnp.float32) - g
+
+    # C: zero-state d = −X⁻¹·(β∘V);  C = −(ratio_c∘d)ᵀ K
+    d_ind = -jnp.einsum("bhti,bhiv->bhtv", x_inv, bb[..., None] * vv)
+    c_chunk = -jnp.einsum("bhtv,bhtd->bhvd", ratio_c[..., None] * d_ind, kk)
+    return t_chunk, c_chunk
+
+
+def gdn_shard_affine(k, v, beta, alpha, *, chunk_size=64):
+    """Compose per-chunk affine maps over a sequence shard (in order):
+
+        T_shard = T₁·T₂·…·T_n,   C_shard = ((C₁·T₂ + C₂)·T₃ + C₃)·…
+
+    so S_out = S_in @ T_shard + C_shard for the whole shard.
+
+    k: (b, h, s, dk); v: (b, h, s, dv); beta/alpha: (b, h, s).
+    Returns (T (b, h, dk, dk), C (b, h, dv, dk)) fp32.
+    """
+    b, h, s, dk = k.shape
+    dv = v.shape[-1]
+    c = min(chunk_size, s)
+    s_pad = -(-s // c) * c
+    if s_pad != s:
+        k = jnp.pad(k, [(0, 0), (0, 0), (0, s_pad - s), (0, 0)])
+        v = jnp.pad(v, [(0, 0), (0, 0), (0, s_pad - s), (0, 0)])
+        beta = jnp.pad(beta, [(0, 0), (0, 0), (0, s_pad - s)])  # β=0: no update
+        alpha = jnp.pad(alpha, [(0, 0), (0, 0), (0, s_pad - s)], constant_values=1.0)
+    n = s_pad // c
+    kc = jnp.moveaxis(k.astype(jnp.float32).reshape(b, h, n, c, dk), 2, 0)
+    vc = jnp.moveaxis(v.astype(jnp.float32).reshape(b, h, n, c, dv), 2, 0)
+    bc = jnp.moveaxis(beta.astype(jnp.float32).reshape(b, h, n, c), 2, 0)
+    ac = jnp.moveaxis(alpha.astype(jnp.float32).reshape(b, h, n, c), 2, 0)
+
+    def step(carry, xs):
+        t_acc, c_acc = carry
+        kk, vv, bb, aa = xs
+        t_chunk, c_chunk = gdn_chunk_affine(kk, vv, bb, aa)
+        t_new = jnp.einsum("bhde,bhef->bhdf", t_acc, t_chunk)
+        c_new = jnp.einsum("bhvd,bhde->bhve", c_acc, t_chunk) + c_chunk
+        return (t_new, c_new), None
+
+    t0 = jnp.broadcast_to(jnp.eye(dk, dtype=jnp.float32), (b, h, dk, dk))
+    c0 = jnp.zeros((b, h, dv, dk), jnp.float32)
+    (t_shard, c_shard), _ = lax.scan(step, (t0, c0), (kc, vc, bc, ac))
+    return t_shard, c_shard

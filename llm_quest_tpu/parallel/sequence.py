@@ -24,6 +24,8 @@ from jax.sharding import PartitionSpec as P
 from llm_quest_tpu.ops.attention import sdpa
 from llm_quest_tpu.ops.masks import causal_mask
 
+_REPLICATED4 = P(None, None, None, None)
+
 
 def sequence_parallel_attention(mesh, axis, q, k, v, *, causal=True):
     """q/k/v: (b, h, s, d) GLOBAL arrays (sharded or shardable along s over
@@ -229,3 +231,85 @@ def ring_flash_attention(mesh, axis, q, k, v, *, causal=True, scale=None, interp
         return out.astype(q_loc.dtype)
 
     return run(q, k, v)
+
+
+def gdn_sequence_parallel(
+    mesh, axis, q, k, v, beta, alpha,
+    *, chunk_size=64, kernel_chunk_size=128, use_kernel=True, prev_state=None,
+):
+    """Sequence parallelism for the GATED DELTA RULE (LASP-style): extends
+    context parallelism to the linear-attention layers of the hybrid models
+    (Qwen3-Next / Qwen3.5), whose recurrence — unlike softmax attention —
+    cannot stream KV around a ring. The key fact (ops/gdn.py::
+    gdn_chunk_affine) is that the chunked state update is AFFINE in the
+    incoming state, S_out = S_in @ T + C with T a tiny (dk, dk) matrix per
+    head, so shards can work independently and compose:
+
+      pass A (parallel): each shard computes its (T_shard, C_shard) from its
+        local k/v/β/α — no communication;
+      exchange: one all_gather of (T, C) over the ``axis`` ring — tiny
+        payload, b·h·(dk² + dv·dk) floats, vs all-gathering s·(dk+dv) KV;
+      prefix-compose: each shard folds the PRECEDING shards' affine maps into
+        its true incoming state S_in(i) = (…(S₀·T₀+C₀)·T₁+C₁…) — an
+        n_dev-step loop on tiny matrices, identical on every device;
+      pass B (parallel): each shard runs the normal chunked/Pallas-kernel
+        form seeded with its S_in — outputs come out sequence-sharded.
+
+    Differentiable end-to-end (plain jnp/lax throughout, and pass B reuses
+    gated_delta_rule_auto's custom_vjp kernel path on TPU), so hybrid-model
+    context-parallel TRAINING runs through this form directly.
+
+    q/k: (b, h, s, dk) pre-repeated to v heads; v: (b, h, s, dv);
+    beta/alpha: (b, h, s) — all GLOBAL arrays sharded (or shardable) along s
+    over ``axis``. prev_state: (b, h, dv, dk) fp32 replicated, or None.
+    Returns (out (b, h, s, dv) sequence-sharded, final_state replicated).
+    """
+    from llm_quest_tpu.ops.gdn import gated_delta_rule_auto, gdn_shard_affine
+
+    n_dev = mesh.shape[axis]
+    b, h, s, dk = k.shape
+    dv = v.shape[-1]
+    assert s % n_dev == 0, f"seq {s} must divide over {n_dev} devices"
+    if prev_state is None:
+        prev_state = jnp.zeros((b, h, dv, dk), jnp.float32)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            (P(None, None, axis, None),) * 3
+            + (P(None, None, axis),) * 2
+            + (_REPLICATED4,)
+        ),
+        out_specs=(P(None, None, axis, None), _REPLICATED4),
+        check_vma=False,
+    )
+    def run(q_loc, k_loc, v_loc, b_loc, a_loc, s0):
+        idx = lax.axis_index(axis)
+        # pass A: local affine map of this shard (state-only — no q matmuls)
+        t_shard, c_shard = gdn_shard_affine(
+            k_loc, v_loc, b_loc, a_loc, chunk_size=chunk_size
+        )
+        t_all = lax.all_gather(t_shard, axis)  # (n_dev, b, h, dk, dk)
+        c_all = lax.all_gather(c_shard, axis)  # (n_dev, b, h, dv, dk)
+
+        # prefix-compose the affine maps of shards < idx into S_in
+        def body(j, state):
+            nxt = jnp.einsum("bhvd,bhde->bhve", state, t_all[j]) + c_all[j]
+            return jnp.where(j < idx, nxt, state)
+
+        s_in = lax.fori_loop(0, n_dev - 1, body, s0.astype(jnp.float32))
+
+        # pass B: the ordinary single-device fast path, seeded with S_in
+        out_loc, final_loc = gated_delta_rule_auto(
+            q_loc, k_loc, v_loc, b_loc, a_loc, prev_state=s_in,
+            chunk_size=chunk_size, kernel_chunk_size=kernel_chunk_size,
+            use_kernel=use_kernel,
+        )
+        # the LAST shard's final state is the global one
+        final = lax.psum(
+            jnp.where(idx == n_dev - 1, final_loc, jnp.zeros_like(final_loc)), axis
+        )
+        return out_loc, final
+
+    return run(q, k, v, beta, alpha, prev_state)

@@ -253,6 +253,100 @@ def test_ring_flash_attention_gradients():
         assert float(jnp.max(jnp.abs(a - b_))) < 5e-5
 
 
+# ------------------------------------------------------- GDN sequence parallel
+
+
+def _gdn_inputs(b=1, h=2, s=256, dk=24, dv=40, seed=11):
+    from llm_quest_tpu.ops.gdn import l2_norm_clamp
+
+    ks = jax.random.split(jax.random.PRNGKey(seed), 6)
+    q = l2_norm_clamp(jax.random.normal(ks[0], (b, h, s, dk), jnp.float32))
+    k = l2_norm_clamp(jax.random.normal(ks[1], (b, h, s, dk), jnp.float32))
+    v = jax.random.normal(ks[2], (b, h, s, dv), jnp.float32)
+    beta = jax.nn.sigmoid(jax.random.normal(ks[3], (b, h, s)))
+    alpha = jax.nn.sigmoid(jax.random.normal(ks[4], (b, h, s)) * 0.3 + 2.0)
+    s0 = jax.random.normal(ks[5], (b, h, dv, dk), jnp.float32) * 0.1
+    return q, k, v, beta, alpha, s0
+
+
+def test_gdn_chunk_affine_matches_chunk():
+    """S₀ @ T + C reproduces gdn_chunk's state update for arbitrary S₀."""
+    from llm_quest_tpu.ops.gdn import gdn_chunk, gdn_chunk_affine
+
+    q, k, v, beta, alpha, s0 = _gdn_inputs(s=32, seed=12)
+    dk = k.shape[-1]
+    st_ref, _ = gdn_chunk(q * dk**-0.5, k, v, beta, alpha, s0)
+    t_c, c_c = gdn_chunk_affine(k, v, beta, alpha)
+    st_aff = jnp.einsum("bhvd,bhde->bhve", s0, t_c) + c_c
+    assert float(jnp.max(jnp.abs(st_ref - st_aff))) < 1e-5
+
+
+def test_gdn_shard_affine_matches_chunked_final_state():
+    from llm_quest_tpu.ops.gdn import gated_delta_rule_chunked, gdn_shard_affine
+
+    q, k, v, beta, alpha, s0 = _gdn_inputs(s=100, seed=13)  # padded tail chunk
+    _, st_ref = gated_delta_rule_chunked(q, k, v, beta, alpha, s0, chunk_size=32)
+    t_s, c_s = gdn_shard_affine(k, v, beta, alpha, chunk_size=32)
+    st_aff = jnp.einsum("bhvd,bhde->bhve", s0, t_s) + c_s
+    assert float(jnp.max(jnp.abs(st_ref - st_aff))) < 1e-5
+
+
+def test_gdn_sequence_parallel_matches_single_device():
+    """LASP-style sequence-sharded gated delta rule == the global chunked
+    form (outputs AND final state), with and without an incoming state."""
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    from llm_quest_tpu.ops.gdn import gated_delta_rule_chunked
+    from llm_quest_tpu.parallel.mesh import create_mesh
+    from llm_quest_tpu.parallel.sequence import gdn_sequence_parallel
+
+    mesh = create_mesh(8, model_parallel=1)
+    q, k, v, beta, alpha, s0 = _gdn_inputs(s=8 * 32)
+
+    for prev in (None, s0):
+        out_ref, st_ref = gated_delta_rule_chunked(
+            q, k, v, beta, alpha, prev, chunk_size=16
+        )
+        out_sp, st_sp = gdn_sequence_parallel(
+            mesh, "data", q, k, v, beta, alpha,
+            chunk_size=16, use_kernel=False, prev_state=prev,
+        )
+        assert float(jnp.max(jnp.abs(out_ref - out_sp))) < 5e-5
+        assert float(jnp.max(jnp.abs(st_ref - st_sp))) < 5e-5
+
+
+@pytest.mark.slow
+def test_gdn_sequence_parallel_gradients():
+    """Gradients through pass A/all_gather/prefix-compose/pass B match the
+    global chunked form — hybrid context-parallel TRAINING is exact."""
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    from llm_quest_tpu.ops.gdn import gated_delta_rule_chunked
+    from llm_quest_tpu.parallel.mesh import create_mesh
+    from llm_quest_tpu.parallel.sequence import gdn_sequence_parallel
+
+    mesh = create_mesh(8, model_parallel=1)
+    q, k, v, beta, alpha, s0 = _gdn_inputs(s=8 * 16, seed=14)
+
+    def loss(fn):
+        def inner(q, k, v, beta, alpha):
+            o, st = fn(q, k, v, beta, alpha)
+            return jnp.sum(jnp.sin(o)) + 0.01 * jnp.sum(st**2)
+
+        return inner
+
+    g_sp = jax.grad(
+        loss(lambda *a: gdn_sequence_parallel(mesh, "data", *a, chunk_size=16, use_kernel=False)),
+        argnums=tuple(range(5)),
+    )(q, k, v, beta, alpha)
+    g_ref = jax.grad(
+        loss(lambda *a: gated_delta_rule_chunked(*a, chunk_size=16)),
+        argnums=tuple(range(5)),
+    )(q, k, v, beta, alpha)
+    for a, b_ in zip(g_sp, g_ref):
+        assert float(jnp.max(jnp.abs(a - b_))) < 5e-5
+
+
 # ---------------------------------------------------------------- expert parallel
 
 
@@ -455,6 +549,46 @@ def test_context_parallel_model_forward_and_grads(mesh8):
 
     def loss_fn(p, c):
         logits, _, _ = qwen3.apply(p, c, ids, training=True)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        return -jnp.mean(jnp.take_along_axis(logp, targets[..., None], axis=-1))
+
+    ref_loss, ref_grads = jax.value_and_grad(loss_fn)(params, cfg)
+
+    cp_cfg = dict(cfg, context_parallel={"mesh": mesh8, "axis": "data"})
+    with mesh8:
+        cp_loss, cp_grads = jax.jit(jax.value_and_grad(lambda p: loss_fn(p, cp_cfg)))(params)
+
+    assert abs(float(ref_loss) - float(cp_loss)) < 1e-5
+    for a, b in zip(jax.tree.leaves(ref_grads), jax.tree.leaves(cp_grads)):
+        assert float(jnp.max(jnp.abs(a - b))) < 5e-5
+
+
+def test_context_parallel_hybrid_model_forward_and_grads(mesh8):
+    """The HYBRID model (Qwen3-Next: GDN + gated-attention layers) trains
+    sequence-sharded: attention rides ring-flash, the gated delta rule rides
+    the LASP affine-composition form — loss and grads match replicated."""
+    from llm_quest_tpu.models import qwen3_next
+
+    cfg = {
+        "vocab_size": 128, "context_length": 128, "emb_dim": 32,
+        "n_layers": 2, "linear_sdpa_ratio": 2,  # GDN, GA
+        "n_heads": 4, "head_dim": 8, "num_kv_groups": 2,
+        "partial_rope_factor": 0.25, "rope_base": 10_000,
+        "linear_num_qk_heads": 2, "linear_num_value_heads": 4,
+        "linear_qk_head_dim": 8, "linear_value_head_dim": 8,
+        "linear_conv_kernel_size": 4,
+        "moe_hidden_dim": 64, "shared_expert_hidden_dim": 64,
+        "num_experts": 4, "top_k": 2, "aux_loss_coef": 0.001,
+        "tie_embeddings": False, "p_dropout": 0.0, "dtype": jnp.float32,
+        "gdn_chunk_size": 16,
+    }
+    params = qwen3_next.init(jax.random.PRNGKey(0), cfg)
+    s = 4 * 32  # divisible by n_data·8 (attention) and n_data (GDN)
+    ids = jax.random.randint(jax.random.PRNGKey(1), (2, s), 0, 128)
+    targets = jnp.roll(ids, -1, 1)
+
+    def loss_fn(p, c):
+        logits, _, _ = qwen3_next.apply(p, c, ids, training=True)
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         return -jnp.mean(jnp.take_along_axis(logp, targets[..., None], axis=-1))
 
