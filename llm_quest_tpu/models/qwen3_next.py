@@ -235,7 +235,9 @@ def _gdn_output(params, cfg, x, ctx):
     ctx = rms_norm_torch_parity(params["post_norm"], ctx.astype(jnp.float32))
     ctx = ctx.transpose(0, 2, 1, 3).reshape(b, s, h * dv)
     gate = silu(linear(params["w_gate"], x).astype(jnp.float32))
-    out = (gate * ctx).astype(params["out_proj"]["w"].dtype)
+    # collapse the fp32 gate island back to the model compute dtype (cfg,
+    # not the weight's — int8-quantized out_proj has no fp "w" to peek at)
+    out = (gate * ctx).astype(cfg["dtype"])
     return linear(params["out_proj"], out)
 
 

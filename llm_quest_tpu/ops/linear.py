@@ -25,8 +25,17 @@ def init_linear(key, in_dim, out_dim, *, bias=True, dtype=jnp.float32):
 
 def linear(params, x):
     """x @ w (+ b) (+ LoRA delta when a "lora" sub-dict is present —
-    see ops/lora.py). x: (..., in_dim) → (..., out_dim)."""
-    y = x @ params["w"]
+    see ops/lora.py). x: (..., in_dim) → (..., out_dim).
+
+    Weight-only int8 checkpoints (ops/quantization.py) carry
+    {"w_q", "w_scale"} instead of "w" — the dequant folds around the
+    matmul, so every model serves quantized params through this same fn."""
+    if "w_q" in params:
+        from llm_quest_tpu.ops.quantization import int8_matmul
+
+        y = int8_matmul(x, params["w_q"], params["w_scale"])
+    else:
+        y = x @ params["w"]
     if "b" in params:
         y = y + params["b"]
     if "lora" in params:

@@ -117,21 +117,32 @@ def init_expert_stack(key, num_experts, d_in, hidden, *, d_out=None, gated=True,
     return params
 
 
+def _ragged(experts, name, x, group_sizes, expert_of_row):
+    """ragged_dot over one stacked expert matrix; int8-quantized stacks
+    (ops/quantization.py::quantize_expert_stack_int8) carry "<name>_q" +
+    "<name>_scale" (E, out) — dequant is exact as a row-indexed scale
+    epilogue because each output row belongs to one expert group."""
+    if name + "_q" in experts:
+        y = jax.lax.ragged_dot(x, experts[name + "_q"].astype(x.dtype), group_sizes)
+        return y * experts[name + "_scale"][expert_of_row].astype(y.dtype)
+    return jax.lax.ragged_dot(x, experts[name], group_sizes)
+
+
 def _expert_mlp_ragged(experts, x_sorted, group_sizes, expert_of_row, activation):
     """Grouped expert MLP over expert-sorted rows via ragged_dot.
 
     Gated form activates the GATE branch — lin1(x) · act(gate(x)) — matching
     the reference Expert (qwen3_moe.py:45-49: lin2(x1 * silu(x_gate)));
     non-gated form is act(lin1(x)+b1) (classic_moe.py)."""
-    h = jax.lax.ragged_dot(x_sorted, experts["lin1"], group_sizes)
+    h = _ragged(experts, "lin1", x_sorted, group_sizes, expert_of_row)
     if "b1" in experts:
         h = h + experts["b1"][expert_of_row]
-    if "gate" in experts:
-        g = jax.lax.ragged_dot(x_sorted, experts["gate"], group_sizes)
+    if "gate" in experts or "gate_q" in experts:
+        g = _ragged(experts, "gate", x_sorted, group_sizes, expert_of_row)
         h = h * activation(g)
     else:
         h = activation(h)
-    out = jax.lax.ragged_dot(h, experts["lin2"], group_sizes)
+    out = _ragged(experts, "lin2", h, group_sizes, expert_of_row)
     if "b2" in experts:
         out = out + experts["b2"][expert_of_row]
     return out
@@ -144,7 +155,8 @@ def dispatch(experts, x2d, topk_idxs, topk_weights, num_experts, *, activation=s
     Returns (T, d_out): Σ over each token's k experts of weight·expert(x).
     """
     t, k = topk_idxs.shape
-    d_out = d_out if d_out is not None else experts["lin2"].shape[-1]
+    lin2 = experts.get("lin2", experts.get("lin2_q"))
+    d_out = d_out if d_out is not None else lin2.shape[-1]
     flat_expert = topk_idxs.reshape(-1)  # (T·k,)
     flat_weight = topk_weights.reshape(-1)
     token_of = jnp.repeat(jnp.arange(t), k)
@@ -234,18 +246,27 @@ def init_deepseek_moe(key, cfg, *, dtype=jnp.float32):
     return params
 
 
+def _shared_einsum(shared, name, spec, x):
+    """Batched-over-experts einsum on one stacked matrix; int8-quantized
+    stacks dequant via the (E, out) scale broadcast on the output."""
+    if name + "_q" in shared:
+        y = jnp.einsum(spec, x, shared[name + "_q"].astype(x.dtype))
+        return y * shared[name + "_scale"][None].astype(y.dtype)
+    return jnp.einsum(spec, x, shared[name])
+
+
 def _shared_experts_sum(shared, x2d, activation=silu):
     """All shared experts on all tokens, summed (reference: deepseek_moe.py:91-129,
     VectorizedSharedExperts: lin2(act(lin1(x)+b1))+b2 batched over experts).
     Gated form activates the gate branch (see _expert_mlp_ragged)."""
-    h = jnp.einsum("td,edh->teh", x2d, shared["lin1"])
+    h = _shared_einsum(shared, "lin1", "td,edh->teh", x2d)
     if "b1" in shared:
         h = h + shared["b1"][None]
-    if "gate" in shared:
-        h = h * activation(jnp.einsum("td,edh->teh", x2d, shared["gate"]))
+    if "gate" in shared or "gate_q" in shared:
+        h = h * activation(_shared_einsum(shared, "gate", "td,edh->teh", x2d))
     else:
         h = activation(h)
-    out = jnp.einsum("teh,ehd->ted", h, shared["lin2"])
+    out = _shared_einsum(shared, "lin2", "teh,ehd->ted", h)
     if "b2" in shared:
         out = out + shared["b2"][None]
     return jnp.sum(out, axis=1)
@@ -303,7 +324,8 @@ def qwen3_moe(params, x, *, top_k, load_coeff, gate_probas=None, training=True):
     """Returns (out, aux); aux has "moe_loss" (training) and "gate_probas"
     for RL routing replay (reference: qwen3_moe.py:105-167)."""
     b, s, d = x.shape
-    num_experts = params["experts"]["lin1"].shape[0]
+    lin1 = params["experts"].get("lin1", params["experts"].get("lin1_q"))
+    num_experts = lin1.shape[0]
     x2d = x.reshape(-1, d)
 
     if gate_probas is None:

@@ -1,0 +1,163 @@
+"""Weight-only int8 quantization for serving (TPU-native, beyond the reference).
+
+Small-batch decode is HBM-bandwidth-bound: every generated token re-reads
+every weight matrix once, so bytes-per-weight — not FLOPs — sets the
+tokens/sec ceiling. Storing linear weights as int8 (+ a per-output-channel
+fp32 scale) halves the bytes vs bf16; XLA fuses the int8→bf16 convert into
+the dot's operand read, so the weights stream from HBM at 1 byte/element and
+never materialize in bf16.
+
+Design (contrast with the reference, which has no quantization):
+- **Symmetric per-channel** scales over the contraction dim: because the
+  scale depends only on the OUTPUT column, ``y = (x @ w_q) * scale`` is exact
+  dequantization applied *after* the matmul — a free (out,)-vector epilogue,
+  no per-element dequant tensor.
+- **Optional sub-channel blocks** (``block_size``): scale shape
+  (in/block, out) for tighter error on long contraction dims; the matmul
+  becomes a blocked einsum with the scale contraction as the final reduce.
+- **Pytree transform, not a model change**: ``quantize_params_int8`` walks
+  any model's params and rewrites ``{"w": (in, out)}`` linears to
+  ``{"w_q": int8, "w_scale": fp32}``; ``ops.linear.linear`` dispatches on the
+  ``"w_q"`` key, so every model (and the shared decode engine) serves
+  quantized checkpoints unchanged.
+
+Excluded by default: embeddings (``tok_emb`` — row-gather, not a matmul) and
+the depthwise conv taps (``conv*`` — tiny, VPU-bound). Biases and LoRA
+adapters pass through in full precision.
+
+Note on TP serving: the sharding path-rules (parallel/sharding.py) match
+both ``w`` and ``w_q``/``w_scale`` suffixes, so tensor-parallel decode of a
+quantized checkpoint shards the int8 weights the same way.
+"""
+
+import re
+
+import jax
+import jax.numpy as jnp
+
+
+def quantize_linear_int8(p, *, block_size=None):
+    """{"w": (in, out) fp[, "b", "lora"]} → {"w_q": int8, "w_scale": fp32, ...}.
+
+    Symmetric round-to-nearest onto [-127, 127]. ``block_size`` groups the
+    contraction dim into in//block_size sub-channels per output column
+    (requires in % block_size == 0); None = one scale per output column.
+    """
+    w = jnp.asarray(p["w"], jnp.float32)
+    d_in, d_out = w.shape
+    if block_size is not None:
+        assert d_in % block_size == 0, (d_in, block_size)
+        nb = d_in // block_size
+        wb = w.reshape(nb, block_size, d_out)
+        scale = jnp.max(jnp.abs(wb), axis=1) / 127.0  # (nb, out)
+        scale = jnp.maximum(scale, 1e-12)
+        w_q = jnp.clip(jnp.round(wb / scale[:, None, :]), -127, 127)
+        w_q = w_q.astype(jnp.int8).reshape(d_in, d_out)
+    else:
+        scale = jnp.max(jnp.abs(w), axis=0) / 127.0  # (out,)
+        scale = jnp.maximum(scale, 1e-12)
+        w_q = jnp.clip(jnp.round(w / scale[None, :]), -127, 127).astype(jnp.int8)
+    out = {"w_q": w_q, "w_scale": scale.astype(jnp.float32)}
+    for k in p:
+        if k != "w":
+            out[k] = p[k]
+    return out
+
+
+def dequantize_int8(w_q, scale):
+    """Reference dequantization (tests / interop): int8 → fp32 (in, out)."""
+    if scale.ndim == 1:
+        return w_q.astype(jnp.float32) * scale[None, :]
+    nb, d_out = scale.shape
+    wb = w_q.reshape(nb, -1, d_out).astype(jnp.float32) * scale[:, None, :]
+    return wb.reshape(w_q.shape)
+
+
+def int8_matmul(x, w_q, scale):
+    """x @ dequant(w_q) with the dequant folded around the MXU matmul.
+
+    Per-channel (scale (out,)): ``(x @ w_q) * scale`` — the int8→x.dtype
+    convert fuses into the dot's weight read (weights stay int8 in HBM),
+    the scale is a vector epilogue. Per-block (scale (nb, out)): blocked
+    einsum with the block reduce carrying the scales, fp32 partials.
+    """
+    if scale.ndim == 1:
+        y = x @ w_q.astype(x.dtype)
+        return y * scale.astype(x.dtype)
+    nb, d_out = scale.shape
+    bs = w_q.shape[0] // nb
+    xb = x.reshape(*x.shape[:-1], nb, bs)
+    part = jnp.einsum(
+        "...nb,nbo->...no",
+        xb,
+        w_q.reshape(nb, bs, d_out).astype(x.dtype),
+        preferred_element_type=jnp.float32,
+    )
+    return jnp.einsum("...no,no->...o", part, scale).astype(x.dtype)
+
+
+_EXPERT_MATS = ("lin1", "gate", "lin2")
+
+
+def quantize_expert_stack_int8(experts):
+    """Stacked MoE expert weights (E, in, out) → int8 with per-(expert,
+    output-channel) scales (E, out). Exact through the sort-based
+    ``ragged_dot`` dispatch: every output row belongs to exactly one expert
+    group, so dequant is a row-indexed scale epilogue
+    (``ops/moe.py::_expert_mlp_ragged``). Biases pass through."""
+    out = {}
+    for k, w in experts.items():
+        if k in _EXPERT_MATS and getattr(w, "ndim", 0) == 3:
+            w32 = jnp.asarray(w, jnp.float32)
+            scale = jnp.maximum(jnp.max(jnp.abs(w32), axis=1) / 127.0, 1e-12)  # (E, out)
+            w_q = jnp.clip(jnp.round(w32 / scale[:, None, :]), -127, 127).astype(jnp.int8)
+            out[k + "_q"] = w_q
+            out[k + "_scale"] = scale.astype(jnp.float32)
+        else:
+            out[k] = w
+    return out
+
+
+def quantize_params_int8(
+    params, *, exclude=r"tok_emb|conv", block_size=None, min_size=4096,
+    quantize_experts=True,
+):
+    """Walk a model's params pytree and quantize every 2-D ``{"w": ...}``
+    linear whose path doesn't match ``exclude`` and whose weight has at
+    least ``min_size`` elements (tiny projections gain no bandwidth and
+    lose accuracy), plus stacked MoE expert dicts (3-D lin1/gate/lin2)
+    when ``quantize_experts``. Returns a new pytree; the original is
+    untouched.
+    """
+    pat = re.compile(exclude) if exclude else None
+
+    def rec(node, path):
+        if isinstance(node, dict):
+            w = node.get("w")
+            if (
+                hasattr(w, "ndim")
+                and w.ndim == 2
+                and w.size >= min_size
+                and (pat is None or not pat.search(path))
+            ):
+                return quantize_linear_int8(node, block_size=block_size)
+            if (
+                quantize_experts
+                and getattr(node.get("lin1"), "ndim", 0) == 3
+                and (pat is None or not pat.search(path))
+            ):
+                return quantize_expert_stack_int8(node)
+            return {k: rec(v, f"{path}/{k}") for k, v in node.items()}
+        if isinstance(node, (list, tuple)):
+            return type(node)(rec(v, f"{path}/{i}") for i, v in enumerate(node))
+        return node
+
+    return rec(params, "")
+
+
+def quantized_byte_fraction(params_q, params_fp):
+    """Diagnostic: total parameter bytes of the quantized tree vs the fp
+    tree (same model) — how much of the HBM weight traffic was halved."""
+    bq = sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(params_q))
+    bf = sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(params_fp))
+    return bq / bf

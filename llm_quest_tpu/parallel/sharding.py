@@ -60,17 +60,35 @@ sharding_rules_llama = [
 ]
 
 
-def _spec_for(path, rules):
+def _spec_for(path, rules, leaf=None):
     s = _path_str(path)
+    # int8 checkpoints (ops/quantization.py): "w_q" shards exactly like the
+    # "w" it replaced; "w_scale" follows the OUTPUT dim of that rule
+    # (per-channel (out,) → P(out_axis); per-block (nb, out) → the block dim
+    # follows the contraction axis). The scale epilogue commutes with the
+    # row-parallel psum, so this is exact under TP.
+    scale = False
+    if s.endswith("/w_q"):
+        s = s[: -len("/w_q")] + "/w"
+    elif s.endswith("/w_scale"):
+        scale = True
+        s = s[: -len("/w_scale")] + "/w"
     for pat, spec in rules:
         if re.match(pat, s):
+            if scale:
+                out_axis = spec[-1] if len(spec) else None
+                if getattr(leaf, "ndim", 1) == 2:
+                    return P(spec[0] if len(spec) > 1 else None, out_axis)
+                return P(out_axis)
             return spec
     return P()
 
 
 def param_specs(params, rules):
     """PartitionSpec pytree matching params, from path-pattern rules."""
-    return jax.tree_util.tree_map_with_path(lambda path, _: _spec_for(path, rules), params)
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: _spec_for(path, rules, leaf), params
+    )
 
 
 def shard_params(params, mesh, rules):
