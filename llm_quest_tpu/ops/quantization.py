@@ -36,27 +36,36 @@ import jax
 import jax.numpy as jnp
 
 
-def quantize_linear_int8(p, *, block_size=None):
-    """{"w": (in, out) fp[, "b", "lora"]} → {"w_q": int8, "w_scale": fp32, ...}.
+def _qdtype(bits):
+    assert bits in (8, 4), bits
+    return (jnp.int8, 127.0) if bits == 8 else (jnp.int4, 7.0)
 
-    Symmetric round-to-nearest onto [-127, 127]. ``block_size`` groups the
-    contraction dim into in//block_size sub-channels per output column
-    (requires in % block_size == 0); None = one scale per output column.
+
+def quantize_linear_int8(p, *, block_size=None, bits=8):
+    """{"w": (in, out) fp[, "b", "lora"]} → {"w_q": int8/int4, "w_scale": fp32, ...}.
+
+    Symmetric round-to-nearest onto [-qmax, qmax] (127 for int8, 7 for
+    int4 — XLA packs s4 two-per-byte in HBM, another 2× on weight
+    bandwidth; pair int4 with ``block_size`` ≤128 sub-channel scales to
+    keep the error usable). ``block_size`` groups the contraction dim into
+    in//block_size sub-channels per output column (requires
+    in % block_size == 0); None = one scale per output column.
     """
+    dtype, qmax = _qdtype(bits)
     w = jnp.asarray(p["w"], jnp.float32)
     d_in, d_out = w.shape
     if block_size is not None:
         assert d_in % block_size == 0, (d_in, block_size)
         nb = d_in // block_size
         wb = w.reshape(nb, block_size, d_out)
-        scale = jnp.max(jnp.abs(wb), axis=1) / 127.0  # (nb, out)
+        scale = jnp.max(jnp.abs(wb), axis=1) / qmax  # (nb, out)
         scale = jnp.maximum(scale, 1e-12)
-        w_q = jnp.clip(jnp.round(wb / scale[:, None, :]), -127, 127)
-        w_q = w_q.astype(jnp.int8).reshape(d_in, d_out)
+        w_q = jnp.clip(jnp.round(wb / scale[:, None, :]), -qmax, qmax)
+        w_q = w_q.astype(dtype).reshape(d_in, d_out)
     else:
-        scale = jnp.max(jnp.abs(w), axis=0) / 127.0  # (out,)
+        scale = jnp.max(jnp.abs(w), axis=0) / qmax  # (out,)
         scale = jnp.maximum(scale, 1e-12)
-        w_q = jnp.clip(jnp.round(w / scale[None, :]), -127, 127).astype(jnp.int8)
+        w_q = jnp.clip(jnp.round(w / scale[None, :]), -qmax, qmax).astype(dtype)
     out = {"w_q": w_q, "w_scale": scale.astype(jnp.float32)}
     for k in p:
         if k != "w":
@@ -99,18 +108,19 @@ def int8_matmul(x, w_q, scale):
 _EXPERT_MATS = ("lin1", "gate", "lin2")
 
 
-def quantize_expert_stack_int8(experts):
-    """Stacked MoE expert weights (E, in, out) → int8 with per-(expert,
+def quantize_expert_stack_int8(experts, *, bits=8):
+    """Stacked MoE expert weights (E, in, out) → int8/int4 with per-(expert,
     output-channel) scales (E, out). Exact through the sort-based
     ``ragged_dot`` dispatch: every output row belongs to exactly one expert
     group, so dequant is a row-indexed scale epilogue
     (``ops/moe.py::_expert_mlp_ragged``). Biases pass through."""
+    dtype, qmax = _qdtype(bits)
     out = {}
     for k, w in experts.items():
         if k in _EXPERT_MATS and getattr(w, "ndim", 0) == 3:
             w32 = jnp.asarray(w, jnp.float32)
-            scale = jnp.maximum(jnp.max(jnp.abs(w32), axis=1) / 127.0, 1e-12)  # (E, out)
-            w_q = jnp.clip(jnp.round(w32 / scale[:, None, :]), -127, 127).astype(jnp.int8)
+            scale = jnp.maximum(jnp.max(jnp.abs(w32), axis=1) / qmax, 1e-12)  # (E, out)
+            w_q = jnp.clip(jnp.round(w32 / scale[:, None, :]), -qmax, qmax).astype(dtype)
             out[k + "_q"] = w_q
             out[k + "_scale"] = scale.astype(jnp.float32)
         else:
@@ -120,7 +130,7 @@ def quantize_expert_stack_int8(experts):
 
 def quantize_params_int8(
     params, *, exclude=r"tok_emb|conv", block_size=None, min_size=4096,
-    quantize_experts=True,
+    quantize_experts=True, bits=8,
 ):
     """Walk a model's params pytree and quantize every 2-D ``{"w": ...}``
     linear whose path doesn't match ``exclude`` and whose weight has at
@@ -140,13 +150,13 @@ def quantize_params_int8(
                 and w.size >= min_size
                 and (pat is None or not pat.search(path))
             ):
-                return quantize_linear_int8(node, block_size=block_size)
+                return quantize_linear_int8(node, block_size=block_size, bits=bits)
             if (
                 quantize_experts
                 and getattr(node.get("lin1"), "ndim", 0) == 3
                 and (pat is None or not pat.search(path))
             ):
-                return quantize_expert_stack_int8(node)
+                return quantize_expert_stack_int8(node, bits=bits)
             return {k: rec(v, f"{path}/{k}") for k, v in node.items()}
         if isinstance(node, (list, tuple)):
             return type(node)(rec(v, f"{path}/{i}") for i, v in enumerate(node))
@@ -155,9 +165,16 @@ def quantize_params_int8(
     return rec(params, "")
 
 
+def _leaf_bytes(x):
+    # ml_dtypes reports itemsize 1 for int4; XLA packs s4 two-per-byte in HBM
+    if x.dtype in (jnp.int4, jnp.uint4):
+        return x.size * 0.5
+    return x.size * x.dtype.itemsize
+
+
 def quantized_byte_fraction(params_q, params_fp):
     """Diagnostic: total parameter bytes of the quantized tree vs the fp
-    tree (same model) — how much of the HBM weight traffic was halved."""
-    bq = sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(params_q))
-    bf = sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(params_fp))
+    tree (same model) — how much of the HBM weight traffic was cut."""
+    bq = sum(_leaf_bytes(x) for x in jax.tree.leaves(params_q))
+    bf = sum(_leaf_bytes(x) for x in jax.tree.leaves(params_fp))
     return bq / bf

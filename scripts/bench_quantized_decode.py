@@ -33,6 +33,17 @@ PROMPT_LEN = 32
 MAX_GEN = 64
 BATCHES = [int(b) for b in os.environ.get("QUANT_BATCHES", "1,8,32").split(",")]
 BLOCK = os.environ.get("QUANT_BLOCK")  # e.g. 128 for sub-channel scales
+WHICH = os.environ.get("QUANT_MODEL", "qwen3_5")  # qwen3_5 | moe
+
+# same 1B-ish MoE as scripts/bench_serving.py — tests the ragged_dot int8
+# path (per-expert scales, row-indexed epilogue) at serving scale
+QWEN3_MOE_CFG = {
+    "model_type": "moe", "vocab_size": 32_000, "context_length": 256, "emb_dim": 1024,
+    "n_layers": 12, "n_heads": 16, "num_kv_groups": 8, "head_dim": 64, "hidden_dim": 2816,
+    "moe_hidden_dim": 704, "num_experts": 16, "top_k": 4,
+    "aux_loss_coef": 0.001, "re_init_router_weights": False, "rope_base": 10_000,
+    "tie_embeddings": True, "qk_norm": True, "dtype": jnp.bfloat16,
+}
 
 
 class Qwen35Text:
@@ -40,14 +51,14 @@ class Qwen35Text:
     init_cache = staticmethod(qwen3_5.init_cache)
 
 
-def sweep(name, params, cfg):
+def sweep(name, model, params, cfg):
     rows = {}
     for b in BATCHES:
         prompt = jax.random.randint(jax.random.PRNGKey(1), (b, PROMPT_LEN), 0, 1000)
 
         def run():
             out = gen.generate_kv_cache(
-                Qwen35Text, params, cfg, prompt, max_gen=MAX_GEN, temp=0.0, eos_ids=-1, pad_id=0
+                model, params, cfg, prompt, max_gen=MAX_GEN, temp=0.0, eos_ids=-1, pad_id=0
             )
             return int(out["sequences"][0, -1])
 
@@ -63,19 +74,26 @@ def sweep(name, params, cfg):
 
 
 def main():
-    cfg = dict(config.QWEN3_5_08B_CONFIG, dtype=jnp.bfloat16)
-    params = qwen3_5.init_text(jax.random.PRNGKey(0), cfg)
+    if WHICH == "moe":
+        from llm_quest_tpu.models import qwen3
+
+        name, model, cfg = "qwen3-moe-1B", qwen3, QWEN3_MOE_CFG
+        params = qwen3.init(jax.random.PRNGKey(0), cfg)
+    else:
+        name, model = "qwen3_5-0.8B-text", Qwen35Text
+        cfg = dict(config.QWEN3_5_08B_CONFIG, dtype=jnp.bfloat16)
+        params = qwen3_5.init_text(jax.random.PRNGKey(0), cfg)
     params = jax.tree.map(lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, params)
     block = int(BLOCK) if BLOCK else None
     params_q = quantize_params_int8(params, block_size=block)
     frac = quantized_byte_fraction(params_q, params)
     print(f"quantized param bytes = {frac:.3f}× bf16", flush=True)
 
-    r_fp = sweep("bf16", params, cfg)
-    r_q = sweep("int8", params_q, cfg)
+    r_fp = sweep("bf16", model, params, cfg)
+    r_q = sweep("int8", model, params_q, cfg)
     speedups = {k: round(r_q[k]["tok_s"] / r_fp[k]["tok_s"], 3) for k in r_fp}
     print(json.dumps({
-        "model": "qwen3_5-0.8B-text", "block_size": block,
+        "model": name, "block_size": block,
         "byte_fraction": round(frac, 3), "bf16": r_fp, "int8": r_q,
         "speedup": speedups,
     }), flush=True)

@@ -68,6 +68,21 @@ def test_int8_matmul_block_matches_per_channel_form():
     assert float(jnp.max(jnp.abs(ref - got))) < 1e-4
 
 
+def test_int4_block_quantization():
+    """bits=4: s4 storage, error bounded by the block scale/2, dispatch
+    through linear() matches explicit dequant."""
+    p = init_linear(jax.random.PRNGKey(6), 128, 64, bias=False)
+    q = quantize_linear_int8(p, block_size=32, bits=4)
+    assert q["w_q"].dtype == jnp.int4
+    w_hat = dequantize_int8(q["w_q"], q["w_scale"])
+    bound = jnp.repeat(q["w_scale"], 32, axis=0)
+    assert bool(jnp.all(jnp.abs(p["w"] - w_hat) <= 0.5 * bound + 1e-7))
+    x = jax.random.normal(jax.random.PRNGKey(7), (3, 128))
+    got = linear(q, x)
+    ref = x @ w_hat
+    assert float(jnp.max(jnp.abs(got - ref))) < 1e-4
+
+
 def test_quantize_params_tree_walk_exclusions():
     """Embeddings, conv taps, and sub-min_size linears stay fp; LoRA
     sub-dicts survive on quantized layers."""
