@@ -34,12 +34,71 @@ def update_layer(cache, layer_idx, k_new, v_new):
     layer; returns the updated cache pytree plus the FULL (max_len) k/v views
     for attention. ``pos`` is NOT advanced here — call ``advance`` once after
     the final layer (mirrors reference: utils.py:524 advancing on last layer).
+
+    ``pos`` may be a (b,) VECTOR (continuous-batching serving,
+    inference/serving.py): each row writes at its own column via a vmapped
+    per-row dynamic_update_slice.
     """
     pos = cache["pos"]
+    if getattr(pos, "ndim", 0) >= 1:
+        k = cache["k"].at[layer_idx].set(
+            _vector_pos_write(cache["k"][layer_idx], k_new, pos)
+        )
+        v = cache["v"].at[layer_idx].set(
+            _vector_pos_write(cache["v"][layer_idx], v_new, pos)
+        )
+        cache = {**cache, "k": k, "v": v}
+        return cache, k[layer_idx], v[layer_idx]
     k = lax.dynamic_update_slice(cache["k"], k_new[None].astype(cache["k"].dtype), (layer_idx, 0, 0, pos, 0))
     v = lax.dynamic_update_slice(cache["v"], v_new[None].astype(cache["v"].dtype), (layer_idx, 0, 0, pos, 0))
     cache = {**cache, "k": k, "v": v}
     return cache, k[layer_idx], v[layer_idx]
+
+
+def _vector_pos_write(buf_l, new, pos):
+    """Per-row-column write of (b, h, s, d) ``new`` into the (b, h, S, d)
+    layer buffer at column ``pos[row]``. NOT a scatter: per-row dynamic
+    starts lower to TPU scatter ops, which serialize (measured ~1 s per
+    32-step decode chunk through a 12-layer cache). Instead a positional
+    mask + select — a full-buffer read/modify/write, but that's only a few
+    MB/layer of HBM streaming, which the MXU-idle decode step absorbs."""
+    b, h, s, d = new.shape
+    S = buf_l.shape[2]
+    cols = jnp.arange(S, dtype=jnp.int32)[None, :]  # (1, S)
+    if s == 1:
+        hit = cols == pos[:, None]  # (b, S)
+        return jnp.where(hit[:, None, :, None], new.astype(buf_l.dtype), buf_l)
+    lo, hi = pos[:, None], pos[:, None] + s
+    hit = (cols >= lo) & (cols < hi)  # (b, S)
+    # gather each column's source row from `new` (clamped; masked by `hit`)
+    src = jnp.clip(cols - lo, 0, s - 1)  # (b, S)
+    spread = jnp.take_along_axis(new.astype(buf_l.dtype), src[:, None, :, None], axis=2)
+    return jnp.where(hit[:, None, :, None], spread, buf_l)
+
+
+def write_kv(buf, new, layer_idx, pos):
+    """Write (b, h, s, d) ``new`` into the stacked (L, b, h, max_len, d)
+    ``buf`` at ``layer_idx``, starting at column ``pos`` — scalar (everyone
+    at the same column) or (b,) vector (continuous-batching serving: each
+    row at its own column)."""
+    if getattr(pos, "ndim", 0) >= 1:
+        return buf.at[layer_idx].set(_vector_pos_write(buf[layer_idx], new, pos))
+    return lax.dynamic_update_slice(
+        buf, new[None].astype(buf.dtype), (layer_idx, 0, 0, pos, 0)
+    )
+
+
+def cur_token_mask(attn_mask, s, pos0):
+    """Slice the (b, max_len) validity mask down to the s columns the
+    current call covers, starting at ``pos0`` (scalar or (b,) vector)."""
+    if attn_mask is None:
+        return None
+    if attn_mask.shape[1] == s:
+        return attn_mask
+    if getattr(pos0, "ndim", 0) >= 1:
+        cols = pos0[:, None] + jnp.arange(s)[None, :]
+        return jnp.take_along_axis(attn_mask, cols, axis=1)
+    return lax.dynamic_slice_in_dim(attn_mask, pos0, s, axis=1)
 
 
 def advance(cache, seq_len):

@@ -1,0 +1,374 @@
+"""Continuous-batching serving engine (TPU-native, beyond the reference).
+
+The batched decode engine (inference/generate.py) is batch-synchronous: a
+batch enters together and occupies the chip until its LONGEST sequence
+finishes — short requests pay head-of-line blocking, and no new request can
+enter mid-flight. Production serving wants iteration-level scheduling
+(Orca/vLLM style): a fixed pool of SLOTS, each slot one in-flight sequence;
+finished slots retire and are refilled immediately while the others keep
+decoding.
+
+TPU redesign (everything static-shape, three compiled programs total):
+- **Slot pool**: the model's ordinary static cache pre-allocated for
+  ``n_slots`` rows, with the column pointer ``cache["pos"]`` promoted to a
+  per-row VECTOR (inference/cache.py handles vector pos via a vmapped
+  per-row dynamic_update_slice; ops/masks.py::causal_mask takes the vector
+  as per-row ``q_start``). Positions-for-RoPE are tracked separately per
+  row — cache columns include bucket padding, exactly like the batched
+  engine's convention, so per-request tokens are BIT-IDENTICAL to
+  ``generate_batched_kv_cache`` under greedy decoding.
+- **Admit** (one jit per prompt bucket): prefill the new prompt on a fresh
+  b=1 cache, then insert the row (cache row, mask row, last-token logits,
+  counters) into the pool with dynamic_update_slice — no other slot is
+  touched, no recompile.
+- **Decode chunk** (one jit): ``lax.scan`` of ``decode_chunk`` single-token
+  steps advancing ALL slots; per-row finished flags swap samples for pad
+  and stop mask-bit growth. The chunk granularity amortizes the host
+  round-trip (the scheduler only intervenes every ``decode_chunk`` tokens —
+  over a tunneled TPU that RTT is ~35 ms, so chunking is what makes the
+  scheduler affordable).
+- **Retire/refill** on the host: read the chunk's tokens + finished flags,
+  close requests (EOS or their max_gen), admit queued prompts into the
+  freed slots.
+
+Nothing model-specific lives here: any model exposing
+``apply(params, cfg, ids, attn_mask=, cache=, position_ids=)`` +
+``init_cache`` with the standard stacked-KV layout serves through this
+engine unchanged (int8-quantized checkpoints included — the dispatch is in
+ops/linear.py).
+
+Reference: the closest thing upstream is the left-pad batched loop
+(generate.py:360-469), which cannot admit mid-flight; this subsystem is a
+TPU-first addition.
+"""
+
+from collections import deque
+from dataclasses import dataclass, field
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from llm_quest_tpu.inference.generate import _freeze, _is_eos, _normalize_eos
+from llm_quest_tpu.ops.sampling import sampling
+
+DEFAULT_BUCKETS = (32, 64, 128, 256, 512)
+
+
+def _insert_rows(big, small, slots, n_slots, k):
+    """Scatter a k-row leaf into the n_slots-row pool leaf at the row
+    indices ``slots`` (k,), along the batch axis (the axis where big has
+    n_slots and small has k, other dims equal); scalar → vector for
+    ``pos``."""
+    if getattr(small, "ndim", 0) < getattr(big, "ndim", 0):
+        return big.at[slots].set(small.astype(big.dtype))  # () → (B,)
+    axis = next(
+        i
+        for i, (a, b) in enumerate(zip(big.shape, small.shape))
+        if a == n_slots
+        and b == k
+        and big.shape[:i] == small.shape[:i]
+        and big.shape[i + 1 :] == small.shape[i + 1 :]
+    )
+    idx = (slice(None),) * axis + (slots,)
+    return big.at[idx].set(small.astype(big.dtype))
+
+
+@dataclass
+class _Request:
+    rid: int
+    ids: np.ndarray  # (prompt_len,) int32
+    max_gen: int
+    tokens: list = field(default_factory=list)
+    done: bool = False
+
+
+# jit wrappers shared across engine instances (same lifetime rationale as
+# generate._JIT_CACHE): keyed on (model, cfg, pool geometry, sampler flags)
+_SERVE_JIT_CACHE = {}
+
+
+def _admit_impl(model, _frozen, cfg, n_slots, max_len, cache_dtype,
+                params, state, prompts, pmasks, slots, budgets):
+    """Admit k requests in ONE program: prefill them as a b=k batch on a
+    fresh cache, then scatter the k rows into the pool at ``slots``.
+    Batching admissions is what keeps the scheduler viable over a
+    high-RTT host link (one dispatch per wave, not per request)."""
+    k, lb = prompts.shape
+    grp_cache = model.init_cache(cfg, k, max_len, dtype=cache_dtype)
+    grp_mask = jnp.zeros((k, max_len), bool).at[:, :lb].set(pmasks)
+    logits_all, grp_cache, _ = model.apply(
+        params, cfg, prompts, attn_mask=grp_mask, cache=grp_cache
+    )
+    real_len = jnp.sum(pmasks, axis=1).astype(jnp.int32)  # (k,)
+    logits = logits_all[jnp.arange(k), real_len - 1]  # (k, v)
+
+    cache = jax.tree.map(
+        lambda big, small: _insert_rows(big, small, slots, n_slots, k),
+        state["cache"], grp_cache,
+    )
+    return {
+        "cache": cache,
+        "mask_buf": state["mask_buf"].at[slots].set(grp_mask),
+        "last_logits": state["last_logits"].at[slots].set(logits.astype(jnp.float32)),
+        "seqpos": state["seqpos"].at[slots].set(real_len),
+        "finished": state["finished"].at[slots].set(False),
+        "budget": state["budget"].at[slots].set(budgets),
+        "rng": state["rng"],
+    }
+
+
+def _decode_chunk_impl(model, _frozen, cfg, n_slots, max_len, decode_chunk,
+                       sample_kw, pad_id, params, state, eos_arr):
+    sample = partial(sampling, **dict(sample_kw))
+
+    def step(carry, _):
+        cache, mask_buf, last_logits, seqpos, finished, budget, rng = carry
+        rng, sub = jax.random.split(rng)
+        sampled = sample(sub, last_logits)
+        token = jnp.where(finished, pad_id, sampled)
+        budget = budget - jnp.where(finished, 0, 1)
+        finished = finished | _is_eos(token, eos_arr) | (budget <= 0)
+        col = cache["pos"]  # (n,) — where this token's K/V will land
+        # positional select, not .at[] scatter — per-row scatters
+        # serialize on TPU (see cache._vector_pos_write)
+        hit = jnp.arange(max_len, dtype=jnp.int32)[None, :] == col[:, None]
+        mask_buf = jnp.where(hit, ~finished[:, None], mask_buf)
+        logits, cache, _ = model.apply(
+            params, cfg, token[:, None],
+            attn_mask=mask_buf, cache=cache, position_ids=seqpos[:, None],
+        )
+        seqpos = seqpos + 1
+        carry = (cache, mask_buf, logits[:, 0].astype(jnp.float32), seqpos, finished, budget, rng)
+        return carry, token
+
+    init = (
+        state["cache"], state["mask_buf"], state["last_logits"],
+        state["seqpos"], state["finished"], state["budget"], state["rng"],
+    )
+    (cache, mask_buf, last_logits, seqpos, finished, budget, rng), tokens = lax.scan(
+        step, init, None, length=decode_chunk
+    )
+    new_state = {
+        "cache": cache, "mask_buf": mask_buf, "last_logits": last_logits,
+        "seqpos": seqpos, "finished": finished, "budget": budget, "rng": rng,
+    }
+    # ONE packed host transfer per chunk: tokens + the finished column
+    packed = jnp.concatenate([tokens.T, finished[:, None].astype(jnp.int32)], axis=1)
+    return new_state, packed  # (n_slots, chunk + 1)
+
+
+class ContinuousBatchingEngine:
+    """Iteration-level scheduler over a fixed slot pool. See module docstring.
+
+    Args:
+        model: module with ``apply`` / ``init_cache``.
+        n_slots: concurrent sequences resident on the chip.
+        max_len: cache columns per slot (longest bucket + longest gen must fit).
+        decode_chunk: tokens decoded per scheduler intervention.
+        prefill_buckets: prompt lengths are right-padded up to the smallest
+            bucket ≥ the prompt — one compiled admit program per bucket.
+    """
+
+    def __init__(
+        self, model, params, cfg, *, n_slots, max_len, decode_chunk=8,
+        prefill_buckets=DEFAULT_BUCKETS, top_k=None, top_p=None, min_p=None,
+        temp=0.0, eos_ids=None, pad_id=0, cache_dtype=None, rng=None,
+        pipeline_depth=2,
+    ):
+        self.model, self.params, self.cfg = model, params, cfg
+        self.n_slots, self.max_len = n_slots, max_len
+        self.decode_chunk = decode_chunk
+        self.buckets = tuple(sorted(b for b in prefill_buckets if b <= max_len))
+        self.sample_kw = dict(top_k=top_k, top_p=top_p, min_p=min_p, temp=temp)
+        self.eos_arr = jnp.asarray(_normalize_eos(eos_ids, pad_id), jnp.int32)
+        self.pad_id = pad_id
+        self.cache_dtype = cache_dtype
+        self.rng = rng if rng is not None else jax.random.PRNGKey(0)
+
+        cache = model.init_cache(cfg, n_slots, max_len, dtype=cache_dtype)
+        cache["pos"] = jnp.zeros((n_slots,), jnp.int32)  # per-row column pointer
+        self.state = {
+            "cache": cache,
+            "mask_buf": jnp.zeros((n_slots, max_len), bool),
+            "last_logits": jnp.zeros((n_slots, cfg["vocab_size"]), jnp.float32),
+            "seqpos": jnp.zeros((n_slots,), jnp.int32),  # RoPE position per row
+            "finished": jnp.ones((n_slots,), bool),  # empty slots are finished
+            # remaining generation budget per slot: the DEVICE flags a row
+            # finished when it hits 0, so max_gen retirement (like EOS) needs
+            # no host->device control write — the scheduler only ever reads
+            "budget": jnp.zeros((n_slots,), jnp.int32),
+            "rng": self.rng,  # resident: no per-chunk host split/upload
+        }
+        # compiled programs are shared ACROSS engine instances: jit wrappers
+        # live in a module-level cache keyed on the engine's static config,
+        # so a fresh engine over the same model re-dispatches the already-
+        # compiled admit/decode programs instead of re-tracing + re-loading
+        # (measured 4.3 s first-step penalty per instance without this)
+        cfg_key = (id(model), _freeze(cfg), n_slots, max_len, str(cache_dtype))
+        admit_key = cfg_key + ("admit",)
+        if admit_key not in _SERVE_JIT_CACHE:
+            _SERVE_JIT_CACHE[admit_key] = jax.jit(
+                partial(_admit_impl, model, _freeze(cfg), cfg, n_slots, max_len, cache_dtype),
+                donate_argnums=(1,),
+            )
+        self._admit_jit = _SERVE_JIT_CACHE[admit_key]
+        decode_key = cfg_key + (
+            "decode", decode_chunk, _freeze(self.sample_kw), pad_id,
+        )
+        if decode_key not in _SERVE_JIT_CACHE:
+            _SERVE_JIT_CACHE[decode_key] = jax.jit(
+                partial(
+                    _decode_chunk_impl, model, _freeze(cfg), cfg, n_slots,
+                    max_len, decode_chunk, tuple(sorted(self.sample_kw.items())), pad_id,
+                ),
+                donate_argnums=(1,),
+            )
+        self._decode_jit = _SERVE_JIT_CACHE[decode_key]
+
+        self._queue = deque()
+        self._slot_req = [None] * n_slots
+        self._requests = {}
+        self._next_rid = 0
+        # pipelined scheduling: keep up to ``pipeline_depth`` decode chunks
+        # in flight and drain the oldest while newer ones execute — the
+        # host's read + retire/refill bookkeeping overlaps device compute
+        # (over the tunneled chip the per-chunk host RTT is ~35 ms, roughly
+        # half a 32-token chunk; depth=1 restores synchronous scheduling).
+        # Correctness is unchanged: finished rows are sticky on device, and
+        # each in-flight chunk carries a snapshot of the slot->request map
+        # taken at ITS dispatch, so late admits never steal earlier tokens.
+        self.pipeline_depth = max(1, pipeline_depth)
+        self._inflight = deque()  # (packed handle, slot_map snapshot)
+
+    # ------------------------------------------------------------- scheduling
+
+    def warmup(self):
+        """Pre-execute every admit group shape plus the decode chunk on a
+        scratch state, so a live serve never pays trace + program-load
+        mid-flight (each admit group size is its own program; measured
+        ~0.5-2 s per untraced shape inside a latency-sensitive loop).
+        Chains donated scratch states — one state copy total."""
+        ks, k = [], 1
+        top = 1 << max(0, self.n_slots - 1).bit_length()
+        while k <= top:
+            ks.append(k)
+            k <<= 1
+        scratch = jax.tree.map(jnp.copy, self.state)
+        for lb in self.buckets:
+            for k in ks:
+                pmask = np.zeros((k, lb), bool)
+                pmask[:, 0] = True  # real_len >= 1 (the admit indexes len-1)
+                scratch = self._admit_jit(
+                    self.params, scratch,
+                    jnp.full((k, lb), self.pad_id, jnp.int32), jnp.asarray(pmask),
+                    jnp.zeros((k,), jnp.int32), jnp.ones((k,), jnp.int32),
+                )
+        scratch, packed = self._decode_jit(self.params, scratch, self.eos_arr)
+        jax.block_until_ready(packed)
+
+    def _bucket_len(self, prompt_len):
+        for b in self.buckets:
+            if prompt_len <= b:
+                return b
+        raise ValueError(f"prompt_len {prompt_len} exceeds largest bucket {self.buckets[-1]}")
+
+    def submit(self, ids, max_gen):
+        """Queue a prompt; returns a request id."""
+        ids = np.asarray(ids, np.int32).reshape(-1)
+        lb = self._bucket_len(len(ids))
+        if lb + max_gen > self.max_len:
+            raise ValueError(
+                f"bucket {lb} + max_gen {max_gen} exceeds max_len {self.max_len}"
+            )
+        rid = self._next_rid
+        self._next_rid += 1
+        req = _Request(rid, ids, max_gen)
+        self._requests[rid] = req
+        self._queue.append(req)
+        return rid
+
+    def _admit_group(self, reqs, slots):
+        """Admit len(reqs) requests into ``slots`` in one jit call, padded
+        up to a power-of-two group size (bounded compile count: buckets ×
+        log2(n_slots) programs) by repeating the last entry — the repeats
+        target the SAME slot index with identical data, so the duplicate
+        scatter writes are order-independent and no extra slot is touched.
+        Shorter prompts ride the group's largest bucket (pads are masked —
+        bit-identical results)."""
+        lb = max(self._bucket_len(len(r.ids)) for r in reqs)
+        k = 1 << (len(reqs) - 1).bit_length()  # next pow2 ≥ len(reqs)
+        prompt = np.full((k, lb), self.pad_id, np.int32)
+        pmask = np.zeros((k, lb), bool)
+        slot_idx = np.empty((k,), np.int32)
+        budgets = np.empty((k,), np.int32)
+        for j in range(k):
+            r = reqs[min(j, len(reqs) - 1)]
+            prompt[j, : len(r.ids)] = r.ids
+            pmask[j, : len(r.ids)] = True
+            slot_idx[j] = slots[min(j, len(reqs) - 1)]
+            budgets[j] = r.max_gen
+        self.state = self._admit_jit(
+            self.params, self.state, jnp.asarray(prompt), jnp.asarray(pmask),
+            jnp.asarray(slot_idx), jnp.asarray(budgets),
+        )
+        for r, s in zip(reqs, slots):
+            self._slot_req[s] = r
+
+    def _drain_one(self):
+        """Block on the OLDEST in-flight chunk, credit its tokens to the
+        requests resident at its dispatch, retire finished ones. No device
+        write needed to retire: the decode chunk already flagged the row
+        finished (EOS or budget exhausted) — finished rows emit pad and
+        stop growing their mask until an admit reuses the slot."""
+        handle, smap = self._inflight.popleft()
+        packed = np.asarray(handle)  # ONE transfer: (n_slots, chunk + 1)
+        tokens, finished = packed[:, :-1], packed[:, -1].astype(bool)
+        for slot, req in enumerate(smap):
+            if req is None or req.done:
+                continue
+            take = min(self.decode_chunk, req.max_gen - len(req.tokens))
+            req.tokens.extend(int(t) for t in tokens[slot, :take])
+            if finished[slot] or len(req.tokens) >= req.max_gen:
+                req.done = True
+                if self._slot_req[slot] is req:
+                    self._slot_req[slot] = None
+
+    def step(self):
+        """One scheduler iteration: complete the oldest in-flight chunk when
+        the pipeline is full, refill freed slots, dispatch the next chunk.
+        Returns True if any work remains."""
+        while len(self._inflight) >= self.pipeline_depth:
+            self._drain_one()
+        free = [s for s in range(self.n_slots) if self._slot_req[s] is None]
+        if free and self._queue:
+            reqs = [self._queue.popleft() for _ in range(min(len(free), len(self._queue)))]
+            self._admit_group(reqs, free[: len(reqs)])
+        if any(r is not None for r in self._slot_req):
+            self.state, packed = self._decode_jit(self.params, self.state, self.eos_arr)
+            self._inflight.append((packed, tuple(self._slot_req)))
+            return True
+        if self._inflight:  # nothing live to dispatch — wind the pipeline down
+            self._drain_one()
+            return True
+        return bool(self._queue)
+
+    def serve(self, prompts):
+        """Serve a batch of (ids, max_gen) pairs to completion; returns the
+        generated token lists in submission order (EOS included, post-EOS
+        pads trimmed)."""
+        rids = [self.submit(ids, mg) for ids, mg in prompts]
+        while self.step():
+            pass
+        outs = []
+        eos_set = set(np.asarray(self.eos_arr).tolist())
+        for rid in rids:
+            toks = self._requests[rid].tokens
+            for i, t in enumerate(toks):
+                if t in eos_set:
+                    toks = toks[: i + 1]
+                    break
+            outs.append(toks)
+        return outs

@@ -45,12 +45,21 @@ def causal_mask(q_len, k_len=None, *, q_start=0, window_size=None, attn_mask=Non
     """
     if k_len is None:
         k_len = q_len
-    q_pos = q_start + jnp.arange(q_len)
     k_pos = jnp.arange(k_len)
-    masked = k_pos[None, :] > q_pos[:, None]  # future → masked
-    if window_size is not None:
-        masked = masked | (k_pos[None, :] <= q_pos[:, None] - window_size)
-    masked = masked[None, None, :, :]
+    if getattr(q_start, "ndim", 0) >= 1:
+        # per-ROW query offsets (continuous-batching serving: each slot sits
+        # at its own sequence position) → (b, 1, q_len, k_len)
+        q_pos = q_start[:, None] + jnp.arange(q_len)[None, :]  # (b, q)
+        masked = k_pos[None, None, :] > q_pos[:, :, None]  # (b, q, k)
+        if window_size is not None:
+            masked = masked | (k_pos[None, None, :] <= q_pos[:, :, None] - window_size)
+        masked = masked[:, None, :, :]
+    else:
+        q_pos = q_start + jnp.arange(q_len)
+        masked = k_pos[None, :] > q_pos[:, None]  # future → masked
+        if window_size is not None:
+            masked = masked | (k_pos[None, :] <= q_pos[:, None] - window_size)
+        masked = masked[None, None, :, :]
     if attn_mask is not None:
         masked = masked | ~attn_mask[:, None, None, :]
     return masked

@@ -1,0 +1,127 @@
+"""Continuous-batching serving engine (inference/serving.py): per-request
+greedy tokens must be BIT-IDENTICAL to the batch-synchronous engine
+(inference/generate.py), through slot reuse, mixed prompt buckets, EOS
+retirement, and mid-flight admission."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from llm_quest_tpu.inference import generate as gen
+from llm_quest_tpu.inference.serving import ContinuousBatchingEngine
+from llm_quest_tpu.models import qwen3
+
+CFG = {
+    "model_type": "dense", "vocab_size": 128, "context_length": 64, "emb_dim": 32,
+    "n_layers": 2, "n_heads": 4, "num_kv_groups": 2, "head_dim": 8, "hidden_dim": 64,
+    "rope_base": 10_000, "tie_embeddings": False, "dtype": jnp.float32,
+}
+
+
+@pytest.fixture(scope="module")
+def params():
+    return qwen3.init(jax.random.PRNGKey(0), CFG)
+
+
+def _reference_tokens(params, ids, max_gen, eos_ids=-1):
+    out = gen.generate_kv_cache(
+        qwen3, params, CFG, jnp.asarray([ids], jnp.int32),
+        max_gen=max_gen, temp=0.0, eos_ids=eos_ids, pad_id=0,
+    )
+    return out["sequences"][0, len(ids):].tolist()
+
+
+def test_serving_matches_batched_engine_with_slot_reuse(params):
+    """5 requests with mixed prompt lengths and gen budgets through 2 slots
+    (forcing retire→refill mid-stream): every request's greedy tokens equal
+    the reference engine's."""
+    rng = np.random.default_rng(0)
+    prompts = [rng.integers(1, 128, size=n).tolist() for n in (3, 7, 5, 12, 4)]
+    max_gens = [6, 10, 4, 8, 5]
+
+    engine = ContinuousBatchingEngine(
+        qwen3, params, CFG, n_slots=2, max_len=32, decode_chunk=3,
+        prefill_buckets=(8, 16), temp=0.0, eos_ids=-1, pad_id=0,
+    )
+    outs = engine.serve(list(zip(prompts, max_gens)))
+
+    for ids, mg, got in zip(prompts, max_gens, outs):
+        ref = _reference_tokens(params, ids, mg)
+        assert got == ref[: len(got)] and len(got) == mg, (got, ref)
+
+
+def test_serving_eos_retires_and_refills(params):
+    """EOS mid-generation retires the slot; the engine's output is trimmed
+    at EOS and matches the reference engine run with the same eos id."""
+    ids = [5, 9, 77, 3]
+    free = _reference_tokens(params, ids, 8)
+    eos = free[3]  # force an EOS on the 4th generated token
+
+    engine = ContinuousBatchingEngine(
+        qwen3, params, CFG, n_slots=2, max_len=32, decode_chunk=2,
+        prefill_buckets=(8,), temp=0.0, eos_ids=eos, pad_id=0,
+    )
+    outs = engine.serve([(ids, 8), (ids, 8)])
+    ref = _reference_tokens(params, ids, 8, eos_ids=eos)
+    ref_trimmed = ref[: ref.index(eos) + 1]
+    assert outs[0] == ref_trimmed
+    assert outs[1] == ref_trimmed  # second request reused the retired slot
+
+
+def test_serving_mid_flight_admission(params):
+    """A request submitted AFTER decoding started still completes and
+    matches the reference (iteration-level scheduling, not batch-sync)."""
+    rng = np.random.default_rng(1)
+    first = rng.integers(1, 128, size=6).tolist()
+    late = rng.integers(1, 128, size=4).tolist()
+
+    engine = ContinuousBatchingEngine(
+        qwen3, params, CFG, n_slots=2, max_len=32, decode_chunk=2,
+        prefill_buckets=(8,), temp=0.0, eos_ids=-1, pad_id=0,
+    )
+    engine.submit(first, 8)
+    engine.step()  # decode begins with only the first request resident
+    rid_late = engine.submit(late, 6)
+    while engine.step():
+        pass
+    got = engine._requests[rid_late].tokens
+    assert got == _reference_tokens(params, late, 6)
+
+
+def test_serving_quantized_checkpoint(params):
+    """An int8 checkpoint serves through the same engine (dispatch lives in
+    ops/linear.py) and stays deterministic."""
+    from llm_quest_tpu.ops.quantization import quantize_params_int8
+
+    pq = quantize_params_int8(params, min_size=256)
+    ids = [4, 8, 15, 16, 23]
+    engine = ContinuousBatchingEngine(
+        qwen3, pq, CFG, n_slots=1, max_len=32, decode_chunk=4,
+        prefill_buckets=(8,), temp=0.0, eos_ids=-1, pad_id=0,
+    )
+    a = engine.serve([(ids, 6)])[0]
+    engine2 = ContinuousBatchingEngine(
+        qwen3, pq, CFG, n_slots=1, max_len=32, decode_chunk=4,
+        prefill_buckets=(8,), temp=0.0, eos_ids=-1, pad_id=0,
+    )
+    b = engine2.serve([(ids, 6)])[0]
+    assert a == b and len(a) == 6
+
+
+def test_vector_pos_cache_write_matches_oracle():
+    """cache._vector_pos_write (one-hot select, not scatter): s=1 and s>1
+    forms against a per-row numpy loop."""
+    from llm_quest_tpu.inference.cache import _vector_pos_write
+
+    rng = np.random.default_rng(0)
+    b, h, S, d = 4, 2, 16, 8
+    buf = rng.standard_normal((b, h, S, d)).astype(np.float32)
+    for s in (1, 3):
+        new = rng.standard_normal((b, h, s, d)).astype(np.float32)
+        pos = rng.integers(0, S - s + 1, size=b).astype(np.int32)
+        ref = buf.copy()
+        for r in range(b):
+            ref[r, :, pos[r] : pos[r] + s] = new[r]
+        got = _vector_pos_write(jnp.asarray(buf), jnp.asarray(new), jnp.asarray(pos))
+        np.testing.assert_allclose(np.asarray(got), ref)
