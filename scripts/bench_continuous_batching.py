@@ -37,7 +37,7 @@ CFG = {
 }
 
 N_REQ = int(os.environ.get("CB_REQUESTS", 64))
-N_SLOTS = int(os.environ.get("CB_SLOTS", 16))
+N_SLOTS = int(os.environ.get("CB_SLOTS", 32))  # measured best (COVERAGE.md sweep)
 PROMPT_LEN = 32
 GEN_MIN, GEN_MAX = 8, 128
 DECODE_CHUNK = int(os.environ.get("CB_CHUNK", 32))
