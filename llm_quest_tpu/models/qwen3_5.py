@@ -42,6 +42,7 @@ import numpy as np
 from jax import lax
 
 from llm_quest_tpu.config import model_dtype
+from llm_quest_tpu.inference import cache as kv_cache
 from llm_quest_tpu.ops import gdn as gdn_ops
 from llm_quest_tpu.ops import rope
 from llm_quest_tpu.ops.activations import gelu_erf, gelu_tanh, silu
@@ -255,6 +256,8 @@ def fused_gdn(params, cfg, x, attn_mask_cur, gdn_state):
     alpha = jnp.moveaxis(
         gdn_ops.compute_alpha_factor(params["log_A"], linear(params["w_alpha"], x), params["dt_bias"]), 1, 2
     )
+    # pad tokens must be a state no-op (right-padded serving admission)
+    beta, alpha = gdn_ops.freeze_masked_updates(beta, alpha, attn_mask_cur)
 
     fused = silu(gdn_ops.causal_conv1d(params["conv1d"], fused_in))
     q, k, v = jnp.split(fused, [d_qk, 2 * d_qk], axis=-1)
@@ -274,7 +277,10 @@ def fused_gdn(params, cfg, x, attn_mask_cur, gdn_state):
     out = _gdn_output(params, cfg, x, ctx)
     new_state = None
     if gdn_state is not None:
-        new_state = {"conv": gdn_ops.conv_state_from_prefill(fused_in, ksz), "recurrent": final_state}
+        new_state = {
+            "conv": gdn_ops.conv_state_from_prefill(fused_in, ksz, mask=attn_mask_cur),
+            "recurrent": final_state,
+        }
     return out, new_state
 
 
@@ -424,11 +430,8 @@ def init_cache(cfg, batch, max_len, *, dtype=None):
 
 
 def _cur_token_mask(attn_mask, s, pos0):
-    if attn_mask is None:
-        return None
-    if attn_mask.shape[1] == s:
-        return attn_mask
-    return lax.dynamic_slice_in_dim(attn_mask, pos0, s, axis=1)
+    # scalar or per-row-vector pos0 (continuous-batching serving)
+    return kv_cache.cur_token_mask(attn_mask, s, pos0)
 
 
 def apply_text(
@@ -450,7 +453,10 @@ def apply_text(
 
     pos0 = cache["pos"] if cache is not None else 0
     if position_ids is None:
-        seq = (pos0 + jnp.arange(s))[None, :] * jnp.ones((b, 1), jnp.int32)
+        if getattr(pos0, "ndim", 0) >= 1:  # per-row pool pointers (serving)
+            seq = pos0[:, None] + jnp.arange(s)[None, :]
+        else:
+            seq = (pos0 + jnp.arange(s))[None, :] * jnp.ones((b, 1), jnp.int32)
         position_ids = jnp.broadcast_to(seq[None], (3, b, s))
     elif position_ids.ndim == 2:  # (b, s) 1-D ids (generic decode engine) → T=H=W
         position_ids = jnp.broadcast_to(position_ids[None], (3, b, s))
@@ -501,12 +507,9 @@ def apply_text(
 
                 def kv_view(k_new, v_new, idx=idx):
                     nonlocal cache
-                    kc = lax.dynamic_update_slice(
-                        cache["k"], k_new[None].astype(cache["k"].dtype), (idx, 0, 0, pos0, 0)
-                    )
-                    vc = lax.dynamic_update_slice(
-                        cache["v"], v_new[None].astype(cache["v"].dtype), (idx, 0, 0, pos0, 0)
-                    )
+                    # write_kv handles scalar AND per-row-vector pos (serving)
+                    kc = kv_cache.write_kv(cache["k"], k_new, idx, pos0)
+                    vc = kv_cache.write_kv(cache["v"], v_new, idx, pos0)
                     cache = {**cache, "k": kc, "v": vc}
                     return kc[idx], vc[idx]
 

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from llm_quest_tpu.config import model_dtype
+from llm_quest_tpu.inference import cache as kv_cache
 from llm_quest_tpu.ops import gdn as gdn_ops
 from llm_quest_tpu.ops import moe as moe_ops
 from llm_quest_tpu.ops import rope
@@ -170,6 +171,8 @@ def gated_delta_net(params, cfg, x, attn_mask_cur, gdn_state):
     alpha = jnp.moveaxis(
         gdn_ops.compute_alpha_factor(params["log_A"], linear(params["wa"], x), params["dt_bias"]), 1, 2
     )
+    # pad tokens must be a state no-op (right-padded serving admission)
+    beta, alpha = gdn_ops.freeze_masked_updates(beta, alpha, attn_mask_cur)
 
     prev = gdn_state["recurrent"] if gdn_state is not None else None
     # long sequences → fused Pallas kernel on TPU / chunked XLA form (exact;
@@ -184,9 +187,9 @@ def gated_delta_net(params, cfg, x, attn_mask_cur, gdn_state):
     new_state = None
     if gdn_state is not None:
         new_state = {
-            "conv_q": gdn_ops.conv_state_from_prefill(q_in, ksz),
-            "conv_k": gdn_ops.conv_state_from_prefill(k_in, ksz),
-            "conv_v": gdn_ops.conv_state_from_prefill(v_in, ksz),
+            "conv_q": gdn_ops.conv_state_from_prefill(q_in, ksz, mask=attn_mask_cur),
+            "conv_k": gdn_ops.conv_state_from_prefill(k_in, ksz, mask=attn_mask_cur),
+            "conv_v": gdn_ops.conv_state_from_prefill(v_in, ksz, mask=attn_mask_cur),
             "recurrent": final_state,
         }
     return out, new_state
@@ -296,12 +299,9 @@ def init_cache(cfg, batch, max_len, *, dtype=None):
 
 
 def _cur_token_mask(attn_mask, s, pos0):
-    """Slice the (b, max_len) engine mask down to the s current positions."""
-    if attn_mask is None:
-        return None
-    if attn_mask.shape[1] == s:
-        return attn_mask
-    return lax.dynamic_slice_in_dim(attn_mask, pos0, s, axis=1)
+    """Slice the (b, max_len) engine mask down to the s current positions;
+    scalar or per-row-vector pos0 (continuous-batching serving)."""
+    return kv_cache.cur_token_mask(attn_mask, s, pos0)
 
 
 def apply(
@@ -322,7 +322,10 @@ def apply(
 
     pos0 = cache["pos"] if cache is not None else 0
     if position_ids is None and cache is not None:
-        position_ids = (pos0 + jnp.arange(s))[None, :] * jnp.ones((b, 1), jnp.int32)
+        if getattr(pos0, "ndim", 0) >= 1:  # per-row pool pointers (serving)
+            position_ids = pos0[:, None] + jnp.arange(s)[None, :]
+        else:
+            position_ids = (pos0 + jnp.arange(s))[None, :] * jnp.ones((b, 1), jnp.int32)
 
     k_len = cache["k"].shape[3] if cache is not None else s
     # context parallelism skips the dense O(s²) mask: the attention router
@@ -401,12 +404,9 @@ def apply(
 
                 def kv_view(k_new, v_new, idx=idx):
                     nonlocal cache
-                    kc = lax.dynamic_update_slice(
-                        cache["k"], k_new[None].astype(cache["k"].dtype), (idx, 0, 0, pos0, 0)
-                    )
-                    vc = lax.dynamic_update_slice(
-                        cache["v"], v_new[None].astype(cache["v"].dtype), (idx, 0, 0, pos0, 0)
-                    )
+                    # write_kv handles scalar AND per-row-vector pos (serving)
+                    kc = kv_cache.write_kv(cache["k"], k_new, idx, pos0)
+                    vc = kv_cache.write_kv(cache["v"], v_new, idx, pos0)
                     cache = {**cache, "k": kc, "v": vc}
                     return kc[idx], vc[idx]
 

@@ -215,19 +215,46 @@ def causal_conv1d_update(params, x_t, conv_state):
     return out.astype(x_t.dtype), new_state
 
 
-def conv_state_from_prefill(x, kernel_size):
+def conv_state_from_prefill(x, kernel_size, mask=None):
     """Rolling conv state after a prefill: the last kernel_size-1 inputs,
     zero-padded on the left if the sequence is shorter.
 
     x: (b, s, c) conv INPUT sequence → (b, c, kernel_size-1).
+
+    ``mask``: optional (b, s) bool of REAL tokens. With right-padded rows
+    (bucketed serving admission, inference/serving.py) the last columns are
+    pads, so the state must instead be the last k-1 inputs ENDING at each
+    row's last real token — a per-row gather; pad/invalid taps contribute 0
+    (matching the conv's implicit left-zero history).
     """
     b, s, c = x.shape
+    if mask is not None:
+        k1 = kernel_size - 1
+        # index of one past the last real token, per row (all-pad rows → s)
+        end = s - jnp.argmax(mask[:, ::-1], axis=1) - jnp.where(jnp.any(mask, 1), 0, s)
+        idx_raw = end[:, None] - k1 + jnp.arange(k1)[None, :]  # (b, k-1)
+        idx = jnp.clip(idx_raw, 0, s - 1)
+        tail = jnp.take_along_axis(x, idx[:, :, None], axis=1)  # (b, k-1, c)
+        valid = (idx_raw >= 0) & jnp.take_along_axis(mask, idx, axis=1)
+        tail = tail * valid[:, :, None].astype(x.dtype)
+        return jnp.moveaxis(tail, 1, 2)  # (b, c, k-1)
     pad = max(kernel_size - 1 - s, 0)
     tail = x[:, max(s - (kernel_size - 1), 0) :, :]  # (b, ≤k-1, c)
     tail = jnp.moveaxis(tail, 1, 2)  # (b, c, ≤k-1)
     if pad:
         tail = jnp.concatenate([jnp.zeros((b, c, pad), x.dtype), tail], axis=-1)
     return tail
+
+
+def freeze_masked_updates(beta, alpha, mask):
+    """Make masked (pad) time steps a NO-OP on the recurrent state:
+    beta=0 (no rank-1 update), alpha=1 (no decay). beta/alpha: (b, h, s);
+    mask: (b, s) bool or None. Without this, right-padded prefill rows
+    (serving admission) would keep decaying/updating state through pads."""
+    if mask is None:
+        return beta, alpha
+    m = mask[:, None, :]
+    return beta * m.astype(beta.dtype), jnp.where(m, alpha, jnp.ones((), alpha.dtype))
 
 
 def gdn_chunk(qq, kk, vv, bb, aa, state):

@@ -125,3 +125,44 @@ def test_vector_pos_cache_write_matches_oracle():
             ref[r, :, pos[r] : pos[r] + s] = new[r]
         got = _vector_pos_write(jnp.asarray(buf), jnp.asarray(new), jnp.asarray(pos))
         np.testing.assert_allclose(np.asarray(got), ref)
+
+
+HYBRID_CFG = {
+    "model_type": "qwen3_5_text", "vocab_size": 128, "emb_dim": 32, "hidden_dim": 64,
+    "n_layers": 4, "linear_sdpa_ratio": 2, "n_heads": 4, "num_kv_groups": 2, "head_dim": 8,
+    "rope_base": 10_000_000, "partial_rope_factor": 0.25, "context_length": 64,
+    "linear_num_qk_heads": 2, "linear_num_value_heads": 4, "linear_qk_head_dim": 8,
+    "linear_value_head_dim": 8, "linear_conv_kernel_size": 4,
+    "tie_embeddings": False, "mrope_section": [1, 1, 0], "p_dropout": 0.0,
+    "dtype": jnp.float32,
+}
+
+
+def test_serving_hybrid_qwen3_5(params):
+    """The FLAGSHIP hybrid (GDN + full-attention) serves through the
+    continuous engine: per-row cache pointers through the KV layers, slot
+    replacement through the conv/recurrent states; greedy tokens match the
+    batched engine through slot reuse."""
+    from llm_quest_tpu.models import qwen3_5
+
+    class TextModel:
+        apply = staticmethod(qwen3_5.apply_text)
+        init_cache = staticmethod(qwen3_5.init_cache)
+
+    hp = qwen3_5.init_text(jax.random.PRNGKey(0), HYBRID_CFG)
+    rng = np.random.default_rng(3)
+    prompts = [rng.integers(1, 128, size=n).tolist() for n in (3, 7, 5, 11)]
+    max_gens = [6, 9, 4, 7]
+
+    engine = ContinuousBatchingEngine(
+        TextModel, hp, HYBRID_CFG, n_slots=2, max_len=32, decode_chunk=3,
+        prefill_buckets=(8, 16), temp=0.0, eos_ids=-1, pad_id=0,
+    )
+    outs = engine.serve(list(zip(prompts, max_gens)))
+
+    for ids, mg, got in zip(prompts, max_gens, outs):
+        ref = gen.generate_kv_cache(
+            TextModel, hp, HYBRID_CFG, jnp.asarray([ids], jnp.int32),
+            max_gen=mg, temp=0.0, eos_ids=-1, pad_id=0,
+        )["sequences"][0, len(ids):].tolist()
+        assert got == ref, (ids, got, ref)
