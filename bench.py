@@ -100,13 +100,19 @@ def bench_vlm_decode(max_gen=64):
     return tok_s, statistics.median(samples)
 
 
-def bench_text_decode(batch=1, prompt_len=32, max_gen=64):
+def bench_text_decode(batch=1, prompt_len=32, max_gen=64, int8=False):
     from llm_quest_tpu import config
     from llm_quest_tpu.inference import generate as gen
     from llm_quest_tpu.models import qwen3_5
 
     cfg = dict(config.QWEN3_5_08B_CONFIG, dtype=jnp.bfloat16)
     params = qwen3_5.init_text(jax.random.PRNGKey(0), cfg)
+    if int8:
+        from llm_quest_tpu.ops.quantization import quantize_params_int8
+
+        params = quantize_params_int8(
+            jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
+        )
 
     class TextModel:
         apply = staticmethod(qwen3_5.apply_text)
@@ -162,6 +168,8 @@ if __name__ == "__main__":
     vit_img_s = _retry(bench_vit_encode)
     vlm_tok_s, ttft_p50_ms = _retry(bench_vlm_decode)
     text_tok_s = _retry(bench_text_decode)
+    # weight-only int8 serving path (ops/quantization.py) — same engine
+    int8_tok_s = _retry(lambda: bench_text_decode(int8=True))
     print(
         json.dumps(
             {
@@ -172,6 +180,7 @@ if __name__ == "__main__":
                 "extra": {
                     "text_decode_tok_s_chip": round(text_tok_s, 1),
                     "text_decode_vs_baseline": round(text_tok_s / TEXT_BASELINE, 2),
+                    "text_decode_int8_tok_s_chip": round(int8_tok_s, 1),
                     "vit_b_224_encode_img_s_chip": round(vit_img_s, 1),
                     "vit_encode_vs_north_star_4000": round(vit_img_s / 4000.0, 2),
                     "ttft_p50_ms": round(ttft_p50_ms, 1),

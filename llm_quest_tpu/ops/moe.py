@@ -30,6 +30,7 @@ return the expert-assignment ``counts`` in aux; callers fold
 import jax
 import jax.numpy as jnp
 
+from llm_quest_tpu.kernels.quantized_gmm import quantized_ragged_dot, supports_qgmm
 from llm_quest_tpu.ops.activations import gelu_erf, silu
 
 
@@ -121,10 +122,18 @@ def _ragged(experts, name, x, group_sizes, expert_of_row):
     """ragged_dot over one stacked expert matrix; int8-quantized stacks
     (ops/quantization.py::quantize_expert_stack_int8) carry "<name>_q" +
     "<name>_scale" (E, out) — dequant is exact as a row-indexed scale
-    epilogue because each output row belongs to one expert group."""
+    epilogue because each output row belongs to one expert group.
+
+    On TPU, int8 stacks route to the Pallas grouped-matmul kernel
+    (kernels/quantized_gmm.py), which streams the weights int8 from HBM —
+    XLA's ragged_dot materializes a dequantized bf16 copy of every expert
+    each step, erasing the bandwidth win at batch (COVERAGE.md)."""
     if name + "_q" in experts:
-        y = jax.lax.ragged_dot(x, experts[name + "_q"].astype(x.dtype), group_sizes)
-        return y * experts[name + "_scale"][expert_of_row].astype(y.dtype)
+        w_q, scale = experts[name + "_q"], experts[name + "_scale"]
+        if supports_qgmm(x, w_q):
+            return quantized_ragged_dot(x, w_q, scale, group_sizes)
+        y = jax.lax.ragged_dot(x, w_q.astype(x.dtype), group_sizes)
+        return y * scale[expert_of_row].astype(y.dtype)
     return jax.lax.ragged_dot(x, experts[name], group_sizes)
 
 

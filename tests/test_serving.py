@@ -166,3 +166,44 @@ def test_serving_hybrid_qwen3_5(params):
             max_gen=mg, temp=0.0, eos_ids=-1, pad_id=0,
         )["sequences"][0, len(ids):].tolist()
         assert got == ref, (ids, got, ref)
+
+
+def test_serving_qwen3_next_and_moe():
+    """qwen3_next (GDN+GA hybrid with separate q/k/v conv states) and a
+    Qwen3-MoE config both serve through the engine with token parity vs the
+    batched engine (slot reuse through retire/refill)."""
+    from llm_quest_tpu.models import qwen3_next
+
+    nxt_cfg = {
+        "vocab_size": 128, "context_length": 64, "emb_dim": 32,
+        "n_layers": 2, "linear_sdpa_ratio": 2, "n_heads": 4, "head_dim": 8,
+        "num_kv_groups": 2, "partial_rope_factor": 0.25, "rope_base": 10_000,
+        "linear_num_qk_heads": 2, "linear_num_value_heads": 4,
+        "linear_qk_head_dim": 8, "linear_value_head_dim": 8,
+        "linear_conv_kernel_size": 4, "moe_hidden_dim": 64,
+        "shared_expert_hidden_dim": 64, "num_experts": 4, "top_k": 2,
+        "aux_loss_coef": 0.001, "tie_embeddings": False, "p_dropout": 0.0,
+        "dtype": jnp.float32, "gdn_chunk_size": 16,
+    }
+    moe_cfg = {
+        "model_type": "moe", "vocab_size": 128, "context_length": 64,
+        "emb_dim": 32, "n_layers": 2, "n_heads": 4, "num_kv_groups": 2,
+        "head_dim": 8, "moe_hidden_dim": 64, "num_experts": 4, "top_k": 2,
+        "aux_loss_coef": 0.001, "rope_base": 10_000, "tie_embeddings": False,
+        "dtype": jnp.float32,
+    }
+    rng = np.random.default_rng(7)
+    prompts = [rng.integers(1, 128, size=n).tolist() for n in (4, 9, 6)]
+    for model, cfg, seed in ((qwen3_next, nxt_cfg, 1), (qwen3, moe_cfg, 2)):
+        p = model.init(jax.random.PRNGKey(seed), cfg)
+        engine = ContinuousBatchingEngine(
+            model, p, cfg, n_slots=2, max_len=32, decode_chunk=3,
+            prefill_buckets=(16,), temp=0.0, eos_ids=-1, pad_id=0,
+        )
+        outs = engine.serve([(ids, 5) for ids in prompts])
+        for ids, got in zip(prompts, outs):
+            ref = gen.generate_kv_cache(
+                model, p, cfg, jnp.asarray([ids], jnp.int32),
+                max_gen=5, temp=0.0, eos_ids=-1, pad_id=0,
+            )["sequences"][0, len(ids):].tolist()
+            assert got == ref, (model.__name__, ids, got, ref)
