@@ -18,10 +18,29 @@ The hybrid (Qwen3.5 / Qwen3-Next) cache lives in hybrid_cache.py.
 import jax.numpy as jnp
 from jax import lax
 
+from llm_quest_tpu.ops.quantization import QuantKV, quantize_rows_int8
 
-def init_kv_cache(n_layers, batch, n_kv_heads, max_len, head_dim, *, v_head_dim=None, dtype=jnp.float32):
-    """Zero-filled cache pytree: {"k", "v", "pos"}."""
+
+def init_kv_cache(n_layers, batch, n_kv_heads, max_len, head_dim, *, v_head_dim=None, dtype=jnp.float32, quant=None):
+    """Zero-filled cache pytree: {"k", "v", "pos"}.
+
+    ``quant="int8"`` allocates the int8 serving cache instead: data buffers
+    in int8 plus per-(layer, row, head, position) fp32 scales stored with a
+    trailing singleton so the same write paths cover them ({"k_q", "k_s",
+    "v_q", "v_s", "pos"}). K/V are quantized once at write time
+    (ops/quantization.py::quantize_rows_int8) and stream int8 through the
+    flash-decode kernel — half the KV bytes per decode step, half the cache
+    HBM footprint (so 2× the serving slots fit)."""
     v_head_dim = v_head_dim if v_head_dim is not None else head_dim
+    if quant == "int8":
+        return {
+            "k_q": jnp.zeros((n_layers, batch, n_kv_heads, max_len, head_dim), jnp.int8),
+            "k_s": jnp.zeros((n_layers, batch, n_kv_heads, max_len, 1), jnp.float32),
+            "v_q": jnp.zeros((n_layers, batch, n_kv_heads, max_len, v_head_dim), jnp.int8),
+            "v_s": jnp.zeros((n_layers, batch, n_kv_heads, max_len, 1), jnp.float32),
+            "pos": jnp.zeros((), jnp.int32),
+        }
+    assert quant is None, quant
     return {
         "k": jnp.zeros((n_layers, batch, n_kv_heads, max_len, head_dim), dtype),
         "v": jnp.zeros((n_layers, batch, n_kv_heads, max_len, v_head_dim), dtype),
@@ -38,8 +57,33 @@ def update_layer(cache, layer_idx, k_new, v_new):
     ``pos`` may be a (b,) VECTOR (continuous-batching serving,
     inference/serving.py): each row writes at its own column via a vmapped
     per-row dynamic_update_slice.
+
+    Quantized caches (``init_kv_cache(quant="int8")``) quantize the new
+    rows here and return ``QuantKV`` views instead of arrays; the attention
+    router streams them int8 (kernels/flash_decode.py) or dequantizes.
     """
-    pos = cache["pos"]
+    return write_layer(cache, layer_idx, k_new, v_new, cache["pos"])
+
+
+def write_layer(cache, layer_idx, k_new, v_new, pos):
+    """``update_layer`` with an explicit write position — the hybrid models
+    (qwen3_5 / qwen3_next) carry their own pos through mixed KV/GDN layer
+    stacks and call this directly."""
+    if "k_q" in cache:
+        k_q, k_s = quantize_rows_int8(k_new)
+        v_q, v_s = quantize_rows_int8(v_new)
+        cache = {
+            **cache,
+            "k_q": write_kv(cache["k_q"], k_q, layer_idx, pos),
+            "k_s": write_kv(cache["k_s"], k_s[..., None], layer_idx, pos),
+            "v_q": write_kv(cache["v_q"], v_q, layer_idx, pos),
+            "v_s": write_kv(cache["v_s"], v_s[..., None], layer_idx, pos),
+        }
+        return (
+            cache,
+            QuantKV(cache["k_q"][layer_idx], cache["k_s"][layer_idx, ..., 0]),
+            QuantKV(cache["v_q"][layer_idx], cache["v_s"][layer_idx, ..., 0]),
+        )
     if getattr(pos, "ndim", 0) >= 1:
         k = cache["k"].at[layer_idx].set(
             _vector_pos_write(cache["k"][layer_idx], k_new, pos)
@@ -107,4 +151,4 @@ def advance(cache, seq_len):
 
 
 def max_len(cache):
-    return cache["k"].shape[3]
+    return cache["k_q" if "k_q" in cache else "k"].shape[3]

@@ -117,7 +117,8 @@ def rope_tables(cfg):
 def init_cache(cfg, batch, max_len, *, dtype=None):
     hd, dhd = head_dims(cfg)
     return kvc.init_kv_cache(
-        cfg["n_layers"], batch, cfg["n_heads"], max_len, hd + dhd, v_head_dim=hd, dtype=dtype or model_dtype(cfg)
+        cfg["n_layers"], batch, cfg["n_heads"], max_len, hd + dhd, v_head_dim=hd,
+        dtype=dtype or model_dtype(cfg), quant=cfg.get("kv_quant"),
     )
 
 

@@ -65,7 +65,8 @@ def init(key, cfg):
 def init_cache(cfg, batch, max_len, *, dtype=None):
     head_dim = cfg["emb_dim"] // cfg["n_heads"]
     return kvc.init_kv_cache(
-        cfg["n_layers"], batch, cfg["n_heads"], max_len, head_dim, dtype=dtype or model_dtype(cfg)
+        cfg["n_layers"], batch, cfg["n_heads"], max_len, head_dim,
+        dtype=dtype or model_dtype(cfg), quant=cfg.get("kv_quant"),
     )
 
 

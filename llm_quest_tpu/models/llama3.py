@@ -80,7 +80,8 @@ def rope_tables(cfg, *, scaled=False):
 
 def init_cache(cfg, batch, max_len, *, dtype=None):
     return kvc.init_kv_cache(
-        cfg["n_layers"], batch, cfg["num_kv_groups"], max_len, head_dim(cfg), dtype=dtype or model_dtype(cfg)
+        cfg["n_layers"], batch, cfg["num_kv_groups"], max_len, head_dim(cfg),
+        dtype=dtype or model_dtype(cfg), quant=cfg.get("kv_quant"),
     )
 
 

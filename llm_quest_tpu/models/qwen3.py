@@ -85,7 +85,8 @@ def rope_tables(cfg):
 
 def init_cache(cfg, batch, max_len, *, dtype=None):
     return kvc.init_kv_cache(
-        cfg["n_layers"], batch, cfg["num_kv_groups"], max_len, cfg["head_dim"], dtype=dtype or model_dtype(cfg)
+        cfg["n_layers"], batch, cfg["num_kv_groups"], max_len, cfg["head_dim"],
+        dtype=dtype or model_dtype(cfg), quant=cfg.get("kv_quant"),
     )
 
 

@@ -417,9 +417,20 @@ def init_cache(cfg, batch, max_len, *, dtype=None):
     n_gdn = len(gdn_layer_indices(cfg))
     _, _, fused = _fused_dims(cfg)
     ksz = cfg["linear_conv_kernel_size"]
+    if cfg.get("kv_quant") == "int8":
+        # int8 KV for the full-attention layers (inference/cache.py design);
+        # the GDN conv/recurrent states stay fp — tiny and precision-critical
+        kv = kv_cache.init_kv_cache(
+            n_attn, batch, cfg["num_kv_groups"], max_len, cfg["head_dim"], quant="int8"
+        )
+        kv.pop("pos")
+    else:
+        kv = {
+            "k": jnp.zeros((n_attn, batch, cfg["num_kv_groups"], max_len, cfg["head_dim"]), dtype),
+            "v": jnp.zeros((n_attn, batch, cfg["num_kv_groups"], max_len, cfg["head_dim"]), dtype),
+        }
     return {
-        "k": jnp.zeros((n_attn, batch, cfg["num_kv_groups"], max_len, cfg["head_dim"]), dtype),
-        "v": jnp.zeros((n_attn, batch, cfg["num_kv_groups"], max_len, cfg["head_dim"]), dtype),
+        **kv,
         "conv": jnp.zeros((n_gdn, batch, fused, ksz - 1), dtype),
         "recurrent": jnp.zeros(
             (n_gdn, batch, cfg["linear_num_value_heads"], cfg["linear_value_head_dim"], cfg["linear_qk_head_dim"]),
@@ -461,7 +472,7 @@ def apply_text(
     elif position_ids.ndim == 2:  # (b, s) 1-D ids (generic decode engine) → T=H=W
         position_ids = jnp.broadcast_to(position_ids[None], (3, b, s))
 
-    k_len = cache["k"].shape[3] if cache is not None else s
+    k_len = kv_cache.max_len(cache) if cache is not None else s
     # context parallelism skips the dense O(s²) mask: the attention router
     # streams causality through the ring-flash kernel, and the GDN layers
     # take the LASP sequence-sharded form (ops/gdn.py::gated_delta_rule_dispatch)
@@ -507,11 +518,10 @@ def apply_text(
 
                 def kv_view(k_new, v_new, idx=idx):
                     nonlocal cache
-                    # write_kv handles scalar AND per-row-vector pos (serving)
-                    kc = kv_cache.write_kv(cache["k"], k_new, idx, pos0)
-                    vc = kv_cache.write_kv(cache["v"], v_new, idx, pos0)
-                    cache = {**cache, "k": kc, "v": vc}
-                    return kc[idx], vc[idx]
+                    # handles scalar AND per-row-vector pos (serving), plus
+                    # int8-quantized caches (returns QuantKV views)
+                    cache, kc, vc = kv_cache.write_layer(cache, idx, k_new, v_new, pos0)
+                    return kc, vc
 
             att_out = mrope_attention(
                 block["att"], cfg, hn, mask, cos, sin, position_ids, kv_view,

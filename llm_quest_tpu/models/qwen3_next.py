@@ -284,9 +284,18 @@ def init_cache(cfg, batch, max_len, *, dtype=None):
     d_qk = cfg["linear_num_qk_heads"] * cfg["linear_qk_head_dim"]
     d_vg = cfg["linear_num_value_heads"] * cfg["linear_value_head_dim"]
     ksz = cfg["linear_conv_kernel_size"]
+    if cfg.get("kv_quant") == "int8":
+        kv = kv_cache.init_kv_cache(
+            n_ga, batch, cfg["num_kv_groups"], max_len, cfg["head_dim"], quant="int8"
+        )
+        kv.pop("pos")
+    else:
+        kv = {
+            "k": jnp.zeros((n_ga, batch, cfg["num_kv_groups"], max_len, cfg["head_dim"]), dtype),
+            "v": jnp.zeros((n_ga, batch, cfg["num_kv_groups"], max_len, cfg["head_dim"]), dtype),
+        }
     return {
-        "k": jnp.zeros((n_ga, batch, cfg["num_kv_groups"], max_len, cfg["head_dim"]), dtype),
-        "v": jnp.zeros((n_ga, batch, cfg["num_kv_groups"], max_len, cfg["head_dim"]), dtype),
+        **kv,
         "conv_q": jnp.zeros((n_gdn, batch, d_qk, ksz - 1), dtype),
         "conv_k": jnp.zeros((n_gdn, batch, d_qk, ksz - 1), dtype),
         "conv_v": jnp.zeros((n_gdn, batch, d_vg, ksz - 1), dtype),
@@ -327,7 +336,7 @@ def apply(
         else:
             position_ids = (pos0 + jnp.arange(s))[None, :] * jnp.ones((b, 1), jnp.int32)
 
-    k_len = cache["k"].shape[3] if cache is not None else s
+    k_len = kv_cache.max_len(cache) if cache is not None else s
     # context parallelism skips the dense O(s²) mask: the attention router
     # streams causality through the ring-flash kernel, and the GDN layers
     # take the LASP sequence-sharded form (ops/gdn.py::gated_delta_rule_dispatch)
@@ -404,11 +413,10 @@ def apply(
 
                 def kv_view(k_new, v_new, idx=idx):
                     nonlocal cache
-                    # write_kv handles scalar AND per-row-vector pos (serving)
-                    kc = kv_cache.write_kv(cache["k"], k_new, idx, pos0)
-                    vc = kv_cache.write_kv(cache["v"], v_new, idx, pos0)
-                    cache = {**cache, "k": kc, "v": vc}
-                    return kc[idx], vc[idx]
+                    # handles scalar AND per-row-vector pos (serving), plus
+                    # int8-quantized caches (returns QuantKV views)
+                    cache, kc, vc = kv_cache.write_layer(cache, idx, k_new, v_new, pos0)
+                    return kc, vc
 
             att_out = gated_attention(
                 block["att"], cfg, hn, mask, cos, sin, position_ids, kv_view,

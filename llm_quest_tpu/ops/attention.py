@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from llm_quest_tpu.ops.masks import mask_value
+from llm_quest_tpu.ops.quantization import QuantKV
 
 
 def sdpa(q, k, v, *, mask=None, scale=None, sink=None, softcap=None, out_dtype=None):
@@ -124,6 +125,31 @@ def attention(
     no window) cannot be represented to the kernel, so that combination is
     routed to sdpa here rather than mis-masked.
     """
+    # int8 KV cache (inference/cache.py quant="int8"): k/v arrive as QuantKV
+    # views. The single-token decode step — the shape where KV bytes dominate
+    # — streams them int8 through the flash-decode kernel (dequant reassociated
+    # in VMEM, exact); every other shape (prefill, CPU-incompatible head dims)
+    # dequantizes once and takes the normal paths below.
+    if isinstance(k, QuantKV):
+        from llm_quest_tpu.kernels.flash_decode import flash_decode, supports_flash_decode
+
+        if (
+            supports_flash_decode(q, k.data, sink=sink, softcap=softcap)
+            and mask is not None
+            and (cfg is None or cfg.get("use_flash_decode", True))
+        ):
+            from llm_quest_tpu.kernels.flash_attention import NEG_INF
+
+            bias = jnp.where(mask[:, 0, 0, :], NEG_INF, 0.0).astype(jnp.float32)
+            if bias.shape[0] != q.shape[0]:
+                bias = jnp.broadcast_to(bias, (q.shape[0], bias.shape[1]))
+            return flash_decode(
+                q, k.data, k.scale, v.data, v.scale, bias,
+                scale=scale, interpret=jax.default_backend() != "tpu",
+            )
+        k = k.dequant(q.dtype)
+        v = v.dequant(q.dtype)
+
     # context parallelism: when cfg["context_parallel"] = {"mesh", "axis"} is
     # set, full-sequence causal training calls route through the ring-flash
     # sequence-parallel kernel (parallel/sequence.py) — KV blocks stream

@@ -31,9 +31,39 @@ quantized checkpoint shards the int8 weights the same way.
 """
 
 import re
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+
+
+class QuantKV(NamedTuple):
+    """An int8-quantized attention operand: ``data`` (…, d) int8 with
+    per-row symmetric ``scale`` (…) fp32. Returned by the quantized KV
+    cache (inference/cache.py) in place of the bf16 k/v views; a plain
+    pytree, so it flows through jit/scan carries unchanged. The attention
+    router either streams it through the flash-decode kernel
+    (kernels/flash_decode.py) or falls back to ``dequant``."""
+
+    data: jax.Array
+    scale: jax.Array
+
+    @property
+    def shape(self):
+        return self.data.shape
+
+    def dequant(self, dtype):
+        return self.data.astype(dtype) * self.scale[..., None].astype(dtype)
+
+
+def quantize_rows_int8(x):
+    """Symmetric per-row (last-dim absmax) int8 quantization of activations
+    — the KV-cache write-time transform. Returns (int8 data, fp32 scales
+    shaped x.shape[:-1])."""
+    x32 = x.astype(jnp.float32)
+    scale = jnp.maximum(jnp.max(jnp.abs(x32), axis=-1) / 127.0, 1e-12)
+    q = jnp.clip(jnp.round(x32 / scale[..., None]), -127, 127).astype(jnp.int8)
+    return q, scale
 
 
 def _qdtype(bits):
