@@ -37,6 +37,14 @@ Nothing model-specific lives here: any model exposing
 engine unchanged (int8-quantized checkpoints included — the dispatch is in
 ops/linear.py).
 
+Multi-chip serving: pass ``mesh=`` (+ ``param_rules=`` to TP-shard the
+params in place). Slots shard over "data" (independent sequences — free
+parallelism), cache/state head axes over "model" to match the column-
+parallel K/V projections, and the jitted admit/decode programs pin their
+output shardings so the pool stays distributed across scheduler
+iterations (``pool_state_shardings``); tokens are bit-identical to the
+single-device engine (tests/test_serving.py::test_serving_sharded_on_mesh).
+
 Reference: the closest thing upstream is the left-pad batched loop
 (generate.py:360-469), which cannot admit mid-flight; this subsystem is a
 TPU-first addition.
@@ -50,11 +58,47 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from llm_quest_tpu.inference.generate import _freeze, _is_eos, _normalize_eos
 from llm_quest_tpu.ops.sampling import sampling
 
 DEFAULT_BUCKETS = (32, 64, 128, 256, 512)
+
+
+def pool_state_shardings(state, mesh, n_slots):
+    """NamedSharding pytree for the engine pool state on a ("data","model")
+    mesh: the SLOT axis of every leaf shards over "data" (slots are
+    independent sequences — pure DP), and the head axis of the stacked
+    cache leaves (axis after the slot axis on >=4-D leaves: KV heads, GDN
+    value heads) shards over "model", matching how column-parallel wk/wv
+    leave the per-head K/V sharded under the TP param rules.
+
+    The slot axis is axis 1 on cache leaves (layer-stacked: (L, B, H, S, d))
+    and axis 0 on the flat per-slot buffers (mask_buf, seqpos, ...) — looked
+    up positionally, NOT by "first axis of size n_slots", so a layer count
+    that happens to equal n_slots cannot mis-shard."""
+    data, model = mesh.shape["data"], mesh.shape["model"]
+
+    def spec_for(leaf):
+        shape = getattr(leaf, "shape", ())
+        if not shape:
+            return P()
+        spec = [None] * len(shape)
+        if len(shape) >= 3 and shape[1] == n_slots:
+            slot_ax = 1
+        elif shape[0] == n_slots:
+            slot_ax = 0
+        else:
+            return P()
+        if n_slots % data == 0 and data > 1:
+            spec[slot_ax] = "data"
+        head_ax = slot_ax + 1
+        if len(shape) >= 4 and head_ax < len(shape) - 1 and model > 1 and shape[head_ax] % model == 0:
+            spec[head_ax] = "model"
+        return P(*spec)
+
+    return jax.tree.map(lambda x: NamedSharding(mesh, spec_for(x)), state)
 
 
 def _insert_rows(big, small, slots, n_slots, k):
@@ -170,14 +214,34 @@ class ContinuousBatchingEngine:
         decode_chunk: tokens decoded per scheduler intervention.
         prefill_buckets: prompt lengths are right-padded up to the smallest
             bucket ≥ the prompt — one compiled admit program per bucket.
+        mesh: optional ("data","model") Mesh — serve sharded (see module
+            docstring); n_slots should divide mesh.shape["data"]-evenly and
+            kv heads mesh.shape["model"]-evenly for the pool to distribute.
+        param_rules: optional sharding rules; when given with ``mesh`` the
+            params are TP-sharded here (pre-sharded params also accepted).
     """
 
     def __init__(
         self, model, params, cfg, *, n_slots, max_len, decode_chunk=8,
         prefill_buckets=DEFAULT_BUCKETS, top_k=None, top_p=None, min_p=None,
         temp=0.0, eos_ids=None, pad_id=0, cache_dtype=None, rng=None,
-        pipeline_depth=2,
+        pipeline_depth=2, mesh=None, param_rules=None,
     ):
+        if mesh is not None:
+            # Multi-chip serving: params shard per the TP rules, slots shard
+            # over "data", cache heads over "model" (pool_state_shardings);
+            # the jitted admit/decode programs pin their output shardings so
+            # the pool STAYS distributed across scheduler iterations. The
+            # Pallas kernel routes are disabled under a mesh — XLA's sdpa
+            # partitions automatically, while an un-shard_mapped pallas_call
+            # would force a gather; head-sharded shard_map kernel routing is
+            # the single-chip kernels' multi-chip follow-up.
+            cfg = dict(cfg, use_flash=False, use_flash_decode=False, use_fused_mha=False)
+            if param_rules is not None:
+                from llm_quest_tpu.parallel.sharding import shard_params
+
+                params = shard_params(params, mesh, param_rules)
+        self.mesh = mesh
         self.model, self.params, self.cfg = model, params, cfg
         self.n_slots, self.max_len = n_slots, max_len
         self.decode_chunk = decode_chunk
@@ -202,17 +266,22 @@ class ContinuousBatchingEngine:
             "budget": jnp.zeros((n_slots,), jnp.int32),
             "rng": self.rng,  # resident: no per-chunk host split/upload
         }
+        self._state_shardings = None
+        if mesh is not None:
+            self._state_shardings = pool_state_shardings(self.state, mesh, n_slots)
+            self.state = jax.tree.map(jax.device_put, self.state, self._state_shardings)
         # compiled programs are shared ACROSS engine instances: jit wrappers
         # live in a module-level cache keyed on the engine's static config,
         # so a fresh engine over the same model re-dispatches the already-
         # compiled admit/decode programs instead of re-tracing + re-loading
         # (measured 4.3 s first-step penalty per instance without this)
-        cfg_key = (id(model), _freeze(cfg), n_slots, max_len, str(cache_dtype))
+        cfg_key = (id(model), _freeze(cfg), n_slots, max_len, str(cache_dtype), mesh)
         admit_key = cfg_key + ("admit",)
         if admit_key not in _SERVE_JIT_CACHE:
             _SERVE_JIT_CACHE[admit_key] = jax.jit(
                 partial(_admit_impl, model, _freeze(cfg), cfg, n_slots, max_len, cache_dtype),
                 donate_argnums=(1,),
+                out_shardings=self._state_shardings,
             )
         self._admit_jit = _SERVE_JIT_CACHE[admit_key]
         decode_key = cfg_key + (
@@ -225,6 +294,9 @@ class ContinuousBatchingEngine:
                     max_len, decode_chunk, tuple(sorted(self.sample_kw.items())), pad_id,
                 ),
                 donate_argnums=(1,),
+                out_shardings=None if mesh is None else (
+                    self._state_shardings, NamedSharding(mesh, P())
+                ),
             )
         self._decode_jit = _SERVE_JIT_CACHE[decode_key]
 

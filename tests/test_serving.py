@@ -207,3 +207,38 @@ def test_serving_qwen3_next_and_moe():
                 max_gen=5, temp=0.0, eos_ids=-1, pad_id=0,
             )["sequences"][0, len(ids):].tolist()
             assert got == ref, (model.__name__, ids, got, ref)
+
+
+def test_serving_sharded_on_mesh(params):
+    """Multi-chip serving: the engine over a (data=4, model=2) mesh — params
+    TP-sharded, slots sharded over "data", KV heads over "model", pinned
+    across scheduler iterations — serves a heterogeneous slot-reuse workload
+    with tokens identical to the single-device engine."""
+    from jax.sharding import PartitionSpec as P
+
+    from llm_quest_tpu.parallel import create_mesh, sharding_rules_llama
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 devices")
+    mesh = create_mesh(8, model_parallel=2)
+
+    rng = np.random.default_rng(3)
+    prompts = [rng.integers(1, 128, size=n).tolist() for n in (3, 7, 5, 12, 4, 9)]
+    max_gens = [6, 10, 4, 8, 5, 7]
+
+    engine = ContinuousBatchingEngine(
+        qwen3, params, CFG, n_slots=4, max_len=32, decode_chunk=3,
+        prefill_buckets=(8, 16), temp=0.0, eos_ids=-1, pad_id=0,
+        mesh=mesh, param_rules=sharding_rules_llama,
+    )
+    # the pool is genuinely distributed: slot axis over "data", heads over "model"
+    ksh = engine.state["cache"]["k"].sharding.spec
+    assert tuple(ksh)[:3] == (None, "data", "model"), ksh
+    assert tuple(engine.state["finished"].sharding.spec) == ("data",)
+
+    outs = engine.serve(list(zip(prompts, max_gens)))
+    for ids, mg, got in zip(prompts, max_gens, outs):
+        assert got == _reference_tokens(params, ids, mg), (ids, got)
+
+    # ...and it STAYED distributed through admit/decode/retire cycles
+    assert tuple(engine.state["cache"]["k"].sharding.spec)[:3] == (None, "data", "model")
