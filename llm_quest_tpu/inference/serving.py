@@ -42,8 +42,13 @@ params in place). Slots shard over "data" (independent sequences — free
 parallelism), cache/state head axes over "model" to match the column-
 parallel K/V projections, and the jitted admit/decode programs pin their
 output shardings so the pool stays distributed across scheduler
-iterations (``pool_state_shardings``); tokens are bit-identical to the
-single-device engine (tests/test_serving.py::test_serving_sharded_on_mesh).
+iterations (``pool_state_shardings``). The Pallas kernels survive the
+mesh: attention routes head-sharded through shard_map
+(ops/attention.py "head_shard" — each chip streams its resident kv
+heads, zero collectives), so the int8 flash-decode path serves
+multi-chip too; tokens are bit-identical to the single-device engine
+(tests/test_serving.py::test_serving_sharded_on_mesh,
+::test_serving_sharded_int8_kv_flash_decode_on_mesh).
 
 Reference: the closest thing upstream is the left-pad batched loop
 (generate.py:360-469), which cannot admit mid-flight; this subsystem is a
@@ -231,12 +236,19 @@ class ContinuousBatchingEngine:
             # Multi-chip serving: params shard per the TP rules, slots shard
             # over "data", cache heads over "model" (pool_state_shardings);
             # the jitted admit/decode programs pin their output shardings so
-            # the pool STAYS distributed across scheduler iterations. The
-            # Pallas kernel routes are disabled under a mesh — XLA's sdpa
-            # partitions automatically, while an un-shard_mapped pallas_call
-            # would force a gather; head-sharded shard_map kernel routing is
-            # the single-chip kernels' multi-chip follow-up.
-            cfg = dict(cfg, use_flash=False, use_flash_decode=False, use_fused_mha=False)
+            # the pool STAYS distributed across scheduler iterations. Kernel
+            # routing goes HEAD-SHARDED (ops/attention.py "head_shard": each
+            # chip runs the flash/flash-decode kernels on its resident heads
+            # inside shard_map, zero collectives) when the kv heads divide
+            # the TP axis; otherwise the Pallas routes are disabled — XLA's
+            # sdpa partitions automatically, while an un-shard_mapped
+            # pallas_call would force a gather.
+            tp = mesh.shape["model"]
+            kvh = cfg.get("num_kv_groups", cfg.get("n_heads"))
+            if tp > 1 and kvh and kvh % tp == 0:
+                cfg = dict(cfg, head_shard={"mesh": mesh, "axis": "model"})
+            else:
+                cfg = dict(cfg, use_flash=False, use_flash_decode=False, use_fused_mha=False)
             if param_rules is not None:
                 from llm_quest_tpu.parallel.sharding import shard_params
 

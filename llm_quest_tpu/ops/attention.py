@@ -18,6 +18,8 @@ full-sequence path; this XLA version is the reference implementation and the
 decode(q_len small) path.
 """
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
@@ -125,6 +127,48 @@ def attention(
     no window) cannot be represented to the kernel, so that combination is
     routed to sdpa here rather than mis-masked.
     """
+    # head-sharded kernel routing: cfg["head_shard"] = {"mesh", "axis"} maps
+    # this call over the TP head axis with shard_map — each shard runs the
+    # normal single-device router (Pallas kernels included) on its resident
+    # heads with ZERO collectives, because heads are independent in attention
+    # and the contiguous head split preserves GQA grouping (q-head block i is
+    # exactly group_size × kv-head block i). This is how multi-chip serving
+    # (inference/serving.py mesh=) keeps the flash/flash-decode kernels that
+    # an un-shard_mapped pallas_call would force XLA to gather for.
+    hs = cfg.get("head_shard") if cfg is not None else None
+    if hs is not None:
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as _P
+
+        mesh, axis = hs["mesh"], hs.get("axis", "model")
+        tp = mesh.shape[axis]
+        kh = k.data.shape[1] if isinstance(k, QuantKV) else k.shape[1]
+        cfg_local = {kk: vv for kk, vv in cfg.items() if kk != "head_shard"}
+        if (
+            tp > 1 and kh % tp == 0 and q.shape[1] % tp == 0 and sink is None
+            # a PER-HEAD dense mask can't be replicated against local heads
+            and (mask is None or mask.shape[1] == 1)
+        ):
+            head = _P(None, axis, None, None)
+            hk = QuantKV(head, _P(None, axis, None)) if isinstance(k, QuantKV) else head
+            rep = lambda x: jax.tree.map(lambda _: _P(), x)  # noqa: E731
+            operands = (q, k, v, mask, attn_mask)
+            in_specs = (head, hk, hk, rep(mask), rep(attn_mask))
+
+            @partial(
+                shard_map, mesh=mesh, in_specs=in_specs,
+                out_specs=head, check_vma=False,
+            )
+            def _sharded(q_, k_, v_, mask_, attn_mask_):
+                return attention(
+                    q_, k_, v_, cfg=cfg_local, mask=mask_, causal=causal,
+                    window_size=window_size, attn_mask=attn_mask_, softcap=softcap,
+                    scale=scale, flash_ok=flash_ok, q_start=q_start,
+                )
+
+            return _sharded(*operands)
+        cfg = cfg_local  # indivisible heads (or sinks): single-device routing
+
     # int8 KV cache (inference/cache.py quant="int8"): k/v arrive as QuantKV
     # views. The single-token decode step — the shape where KV bytes dominate
     # — streams them int8 through the flash-decode kernel (dequant reassociated

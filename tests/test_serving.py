@@ -242,3 +242,41 @@ def test_serving_sharded_on_mesh(params):
 
     # ...and it STAYED distributed through admit/decode/retire cycles
     assert tuple(engine.state["cache"]["k"].sharding.spec)[:3] == (None, "data", "model")
+
+
+def test_serving_sharded_int8_kv_flash_decode_on_mesh():
+    """Multi-chip serving KEEPS the kernels: int8 KV cache + flash-decode
+    Pallas kernel running head-sharded inside shard_map (each chip streams
+    its resident kv heads, zero collectives) — tokens identical to the
+    single-device int8 engine AND to its dequant fallback."""
+    from llm_quest_tpu.parallel import create_mesh, sharding_rules_llama
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 devices")
+    mesh = create_mesh(8, model_parallel=2)
+    cfg = {
+        "model_type": "dense", "vocab_size": 128, "context_length": 64,
+        "emb_dim": 64, "n_heads": 4, "num_kv_groups": 2, "head_dim": 128,
+        "hidden_dim": 96, "n_layers": 2, "rope_base": 10_000,
+        "tie_embeddings": False, "qk_norm": True, "dtype": jnp.float32,
+        "kv_quant": "int8",
+    }
+    params = qwen3.init(jax.random.PRNGKey(4), cfg)
+    rng = np.random.default_rng(6)
+    prompts = [rng.integers(1, 128, size=n).tolist() for n in (4, 9, 6, 11)]
+
+    engine = ContinuousBatchingEngine(
+        qwen3, params, cfg, n_slots=4, max_len=32, decode_chunk=3,
+        prefill_buckets=(16,), temp=0.0, eos_ids=-1, pad_id=0,
+        mesh=mesh, param_rules=sharding_rules_llama,
+    )
+    assert engine.cfg.get("head_shard"), "head-sharded kernel routing should engage"
+    assert "k_q" in engine.state["cache"], "int8 pool cache"
+    outs = engine.serve([(ids, 5) for ids in prompts])
+
+    ref_engine = ContinuousBatchingEngine(
+        qwen3, params, cfg, n_slots=4, max_len=32, decode_chunk=3,
+        prefill_buckets=(16,), temp=0.0, eos_ids=-1, pad_id=0,
+    )
+    refs = ref_engine.serve([(ids, 5) for ids in prompts])
+    assert outs == refs, (outs, refs)
