@@ -132,6 +132,7 @@ class _Request:
     max_gen: int
     tokens: list = field(default_factory=list)
     done: bool = False
+    prefix: int | None = None  # registered prefix id (register_prefix)
 
 
 # jit wrappers shared across engine instances (same lifetime rationale as
@@ -163,6 +164,63 @@ def _admit_impl(model, _frozen, cfg, n_slots, max_len, cache_dtype,
         "mask_buf": state["mask_buf"].at[slots].set(grp_mask),
         "last_logits": state["last_logits"].at[slots].set(logits.astype(jnp.float32)),
         "seqpos": state["seqpos"].at[slots].set(real_len),
+        "finished": state["finished"].at[slots].set(False),
+        "budget": state["budget"].at[slots].set(budgets),
+        "rng": state["rng"],
+    }
+
+
+def _prefix_impl(model, _frozen, cfg, max_len, cache_dtype, plen,
+                 params, ids):
+    """Prefill ONE shared prefix (system prompt) on a fresh b=1 cache row.
+    ``plen`` is STATIC (the host registered the prefix), so the stored row's
+    ``pos`` is pinned to the REAL length — suffix admits write from column
+    ``plen``, overwriting the bucket-pad garbage, and cache columns stay
+    aligned with RoPE positions exactly."""
+    cache = model.init_cache(cfg, 1, max_len, dtype=cache_dtype)
+    mask = jnp.zeros((1, max_len), bool).at[:, :plen].set(True)  # bucket pads stay invalid
+    _, cache, _ = model.apply(params, cfg, ids, attn_mask=mask, cache=cache)
+    cache["pos"] = jnp.asarray(plen, jnp.int32)
+    return cache
+
+
+def _admit_prefix_impl(model, _frozen, cfg, n_slots, max_len, cache_dtype, plen,
+                       params, state, pcache, prompts, pmasks, slots, budgets):
+    """Admit k requests that SHARE a registered prefix: broadcast the prefix
+    cache row into a b=k group cache (one HBM copy per admit, no recompute
+    of the prefix forward), prefill only the suffixes at q_start=plen, then
+    scatter the rows into the pool. The models derive positions and causal
+    masking from cache["pos"]=plen, so suffix token i gets RoPE position
+    plen+i and sees prefix columns [0, plen) — identical numerics to
+    prefilling prefix+suffix in one shot."""
+    k, lb = prompts.shape
+
+    def bcast(x):
+        if getattr(x, "ndim", 0) >= 3 and x.shape[1] == 1:
+            return jnp.broadcast_to(x, x.shape[:1] + (k,) + x.shape[2:])
+        return x
+
+    grp_cache = jax.tree.map(bcast, pcache)  # "pos" stays the scalar plen
+    grp_mask = (
+        jnp.zeros((k, max_len), bool)
+        .at[:, :plen].set(True)
+        .at[:, plen : plen + lb].set(pmasks)
+    )
+    logits_all, grp_cache, _ = model.apply(
+        params, cfg, prompts, attn_mask=grp_mask, cache=grp_cache
+    )
+    real_len = jnp.sum(pmasks, axis=1).astype(jnp.int32)  # (k,) suffix tokens
+    logits = logits_all[jnp.arange(k), real_len - 1]
+
+    cache = jax.tree.map(
+        lambda big, small: _insert_rows(big, small, slots, n_slots, k),
+        state["cache"], grp_cache,
+    )
+    return {
+        "cache": cache,
+        "mask_buf": state["mask_buf"].at[slots].set(grp_mask),
+        "last_logits": state["last_logits"].at[slots].set(logits.astype(jnp.float32)),
+        "seqpos": state["seqpos"].at[slots].set(plen + real_len),
         "finished": state["finished"].at[slots].set(False),
         "budget": state["budget"].at[slots].set(budgets),
         "rng": state["rng"],
@@ -315,6 +373,7 @@ class ContinuousBatchingEngine:
         self._queue = deque()
         self._slot_req = [None] * n_slots
         self._requests = {}
+        self._prefixes = {}  # pid -> (prefilled b=1 cache row, real prefix len)
         self._next_rid = 0
         # pipelined scheduling: keep up to ``pipeline_depth`` decode chunks
         # in flight and drain the oldest while newer ones execute — the
@@ -359,17 +418,48 @@ class ContinuousBatchingEngine:
                 return b
         raise ValueError(f"prompt_len {prompt_len} exceeds largest bucket {self.buckets[-1]}")
 
-    def submit(self, ids, max_gen):
-        """Queue a prompt; returns a request id."""
+    def register_prefix(self, ids):
+        """Prefill a shared prompt PREFIX (system prompt / few-shot header)
+        once; requests submitted with ``prefix=pid`` skip recomputing it —
+        their admit broadcasts the stored cache row and prefills only the
+        suffix (prefix-cached TTFT scales with the suffix, not the prompt).
+        One compiled admit program per distinct prefix LENGTH (static so
+        cache columns stay position-aligned); prefixes are few (system
+        prompts), so the compile count stays bounded. Standard stacked-KV
+        caches only — hybrid (GDN) prefill cannot resume from stored conv
+        taps (models/qwen3_5.py::fused_gdn_prefill re-derives them from the
+        current window), so hybrid engines must serve full prompts."""
+        if "conv" in self.state["cache"] or "conv_q" in self.state["cache"]:
+            raise ValueError("prefix caching requires a pure stacked-KV cache (hybrids unsupported)")
+        ids = np.asarray(ids, np.int32).reshape(-1)
+        plen = len(ids)  # NOT bucketed: one compile per registered length anyway
+        if plen + min(self.buckets) >= self.max_len:
+            raise ValueError(f"prefix of {plen} leaves no room in max_len {self.max_len}")
+        key = (id(self.model), _freeze(self.cfg), self.max_len,
+               str(self.cache_dtype), self.mesh, "prefix", plen)
+        if key not in _SERVE_JIT_CACHE:
+            _SERVE_JIT_CACHE[key] = jax.jit(
+                partial(_prefix_impl, self.model, _freeze(self.cfg), self.cfg,
+                        self.max_len, self.cache_dtype, plen)
+            )
+        pcache = _SERVE_JIT_CACHE[key](self.params, jnp.asarray(ids[None]))
+        pid = len(self._prefixes)
+        self._prefixes[pid] = (pcache, plen)
+        return pid
+
+    def submit(self, ids, max_gen, prefix=None):
+        """Queue a prompt; returns a request id. ``prefix``: id from
+        ``register_prefix`` — ``ids`` is then the SUFFIX after that prefix."""
         ids = np.asarray(ids, np.int32).reshape(-1)
         lb = self._bucket_len(len(ids))
-        if lb + max_gen > self.max_len:
+        plen = self._prefixes[prefix][1] if prefix is not None else 0
+        if plen + lb + max_gen > self.max_len:
             raise ValueError(
-                f"bucket {lb} + max_gen {max_gen} exceeds max_len {self.max_len}"
+                f"prefix {plen} + bucket {lb} + max_gen {max_gen} exceeds max_len {self.max_len}"
             )
         rid = self._next_rid
         self._next_rid += 1
-        req = _Request(rid, ids, max_gen)
+        req = _Request(rid, ids, max_gen, prefix=prefix)
         self._requests[rid] = req
         self._queue.append(req)
         return rid
@@ -401,6 +491,39 @@ class ContinuousBatchingEngine:
         for r, s in zip(reqs, slots):
             self._slot_req[s] = r
 
+    def _admit_group_prefix(self, pid, reqs, slots):
+        """_admit_group for requests sharing registered prefix ``pid``:
+        same pow2 wave padding, but the group cache starts as the broadcast
+        prefix row and only the suffixes prefill (q_start = prefix len)."""
+        pcache, plen = self._prefixes[pid]
+        lb = max(self._bucket_len(len(r.ids)) for r in reqs)
+        k = 1 << (len(reqs) - 1).bit_length()
+        prompt = np.full((k, lb), self.pad_id, np.int32)
+        pmask = np.zeros((k, lb), bool)
+        slot_idx = np.empty((k,), np.int32)
+        budgets = np.empty((k,), np.int32)
+        for j in range(k):
+            r = reqs[min(j, len(reqs) - 1)]
+            prompt[j, : len(r.ids)] = r.ids
+            pmask[j, : len(r.ids)] = True
+            slot_idx[j] = slots[min(j, len(reqs) - 1)]
+            budgets[j] = r.max_gen
+        key = (id(self.model), _freeze(self.cfg), self.n_slots, self.max_len,
+               str(self.cache_dtype), self.mesh, "admit_prefix", plen)
+        if key not in _SERVE_JIT_CACHE:
+            _SERVE_JIT_CACHE[key] = jax.jit(
+                partial(_admit_prefix_impl, self.model, _freeze(self.cfg), self.cfg,
+                        self.n_slots, self.max_len, self.cache_dtype, plen),
+                donate_argnums=(1,),
+                out_shardings=self._state_shardings,
+            )
+        self.state = _SERVE_JIT_CACHE[key](
+            self.params, self.state, pcache, jnp.asarray(prompt),
+            jnp.asarray(pmask), jnp.asarray(slot_idx), jnp.asarray(budgets),
+        )
+        for r, s in zip(reqs, slots):
+            self._slot_req[s] = r
+
     def _drain_one(self):
         """Block on the OLDEST in-flight chunk, credit its tokens to the
         requests resident at its dispatch, retire finished ones. No device
@@ -428,8 +551,16 @@ class ContinuousBatchingEngine:
             self._drain_one()
         free = [s for s in range(self.n_slots) if self._slot_req[s] is None]
         if free and self._queue:
-            reqs = [self._queue.popleft() for _ in range(min(len(free), len(self._queue)))]
-            self._admit_group(reqs, free[: len(reqs)])
+            take = [self._queue.popleft() for _ in range(min(len(free), len(self._queue)))]
+            groups = {}  # one admit wave per (prefix or None); dict keeps FIFO order
+            for r in take:
+                groups.setdefault(r.prefix, []).append(r)
+            for pid, reqs in groups.items():
+                slots_for, free = free[: len(reqs)], free[len(reqs):]
+                if pid is None:
+                    self._admit_group(reqs, slots_for)
+                else:
+                    self._admit_group_prefix(pid, reqs, slots_for)
         if any(r is not None for r in self._slot_req):
             self.state, packed = self._decode_jit(self.params, self.state, self.eos_arr)
             self._inflight.append((packed, tuple(self._slot_req)))
@@ -440,10 +571,10 @@ class ContinuousBatchingEngine:
         return bool(self._queue)
 
     def serve(self, prompts):
-        """Serve a batch of (ids, max_gen) pairs to completion; returns the
-        generated token lists in submission order (EOS included, post-EOS
-        pads trimmed)."""
-        rids = [self.submit(ids, mg) for ids, mg in prompts]
+        """Serve a batch of (ids, max_gen) or (ids, max_gen, prefix_id)
+        tuples to completion; returns the generated token lists in
+        submission order (EOS included, post-EOS pads trimmed)."""
+        rids = [self.submit(*req) for req in prompts]
         while self.step():
             pass
         outs = []

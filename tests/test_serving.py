@@ -280,3 +280,99 @@ def test_serving_sharded_int8_kv_flash_decode_on_mesh():
     )
     refs = ref_engine.serve([(ids, 5) for ids in prompts])
     assert outs == refs, (outs, refs)
+
+
+def test_serving_prefix_caching(params):
+    """A registered prefix (system prompt) is prefilled ONCE; requests
+    submitting only their suffix produce tokens IDENTICAL to serving the
+    full prefix+suffix prompt — through mixed-prefix waves, slot reuse, and
+    requests with no prefix in the same batch."""
+    rng = np.random.default_rng(7)
+    prefix = rng.integers(1, 128, size=6).tolist()
+    suffixes = [rng.integers(1, 128, size=n).tolist() for n in (3, 5, 2, 7)]
+    plain = rng.integers(1, 128, size=4).tolist()
+    max_gens = [6, 8, 5, 7]
+
+    engine = ContinuousBatchingEngine(
+        qwen3, params, CFG, n_slots=2, max_len=40, decode_chunk=3,
+        prefill_buckets=(8, 16), temp=0.0, eos_ids=-1, pad_id=0,
+    )
+    pid = engine.register_prefix(prefix)
+    reqs = [(sfx, mg, pid) for sfx, mg in zip(suffixes, max_gens)] + [(plain, 6)]
+    outs = engine.serve(reqs)
+
+    for sfx, mg, got in zip(suffixes, max_gens, outs):
+        ref = _reference_tokens(params, prefix + sfx, mg)
+        assert got == ref, (sfx, got, ref)
+    assert outs[-1] == _reference_tokens(params, plain, 6)
+
+
+def test_serving_prefix_caching_two_prefixes_and_budget():
+    """Two different registered prefixes interleave in one workload; suffix
+    budget validation accounts for the prefix length."""
+    cfg = dict(CFG)
+    params = qwen3.init(jax.random.PRNGKey(9), cfg)
+    rng = np.random.default_rng(8)
+    pa = rng.integers(1, 128, size=5).tolist()
+    pb = rng.integers(1, 128, size=9).tolist()
+    sfx = [rng.integers(1, 128, size=n).tolist() for n in (4, 3, 6)]
+
+    engine = ContinuousBatchingEngine(
+        qwen3, params, cfg, n_slots=2, max_len=40, decode_chunk=2,
+        prefill_buckets=(8,), temp=0.0, eos_ids=-1, pad_id=0,
+    )
+    ia, ib = engine.register_prefix(pa), engine.register_prefix(pb)
+    outs = engine.serve([(sfx[0], 5, ia), (sfx[1], 5, ib), (sfx[2], 5, ia)])
+
+    def full(ids, mg):
+        out = gen.generate_kv_cache(
+            qwen3, params, cfg, jnp.asarray([ids], jnp.int32),
+            max_gen=mg, temp=0.0, eos_ids=-1, pad_id=0,
+        )
+        return out["sequences"][0, len(ids):].tolist()
+
+    assert outs[0] == full(pa + sfx[0], 5)
+    assert outs[1] == full(pb + sfx[1], 5)
+    assert outs[2] == full(pa + sfx[2], 5)
+
+    with pytest.raises(ValueError, match="prefix"):
+        engine.submit(rng.integers(1, 128, size=8).tolist(), 30, prefix=ib)
+
+
+def test_serving_prefix_rejected_for_hybrids():
+    from llm_quest_tpu.models import qwen3_5
+
+    class TextModel:
+        apply = staticmethod(qwen3_5.apply_text)
+        init_cache = staticmethod(qwen3_5.init_cache)
+
+    hp = qwen3_5.init_text(jax.random.PRNGKey(0), HYBRID_CFG)
+    engine = ContinuousBatchingEngine(
+        TextModel, hp, HYBRID_CFG, n_slots=1, max_len=32, decode_chunk=2,
+        prefill_buckets=(8,), temp=0.0, eos_ids=-1, pad_id=0,
+    )
+    with pytest.raises(ValueError, match="hybrid"):
+        engine.register_prefix([1, 2, 3])
+
+
+def test_serving_prefix_caching_on_mesh(params):
+    """Prefix caching composes with multi-chip serving: registered-prefix
+    requests through the TP/DP-sharded engine match full-prompt references."""
+    from llm_quest_tpu.parallel import create_mesh, sharding_rules_llama
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 devices")
+    mesh = create_mesh(8, model_parallel=2)
+    rng = np.random.default_rng(10)
+    prefix = rng.integers(1, 128, size=6).tolist()
+    suffixes = [rng.integers(1, 128, size=n).tolist() for n in (3, 5, 7, 2, 6)]
+
+    engine = ContinuousBatchingEngine(
+        qwen3, params, CFG, n_slots=4, max_len=40, decode_chunk=3,
+        prefill_buckets=(8,), temp=0.0, eos_ids=-1, pad_id=0,
+        mesh=mesh, param_rules=sharding_rules_llama,
+    )
+    pid = engine.register_prefix(prefix)
+    outs = engine.serve([(sfx, 5, pid) for sfx in suffixes])
+    for sfx, got in zip(suffixes, outs):
+        assert got == _reference_tokens(params, prefix + sfx, 5), (sfx, got)
