@@ -425,12 +425,10 @@ class ContinuousBatchingEngine:
         suffix (prefix-cached TTFT scales with the suffix, not the prompt).
         One compiled admit program per distinct prefix LENGTH (static so
         cache columns stay position-aligned); prefixes are few (system
-        prompts), so the compile count stays bounded. Standard stacked-KV
-        caches only — hybrid (GDN) prefill cannot resume from stored conv
-        taps (models/qwen3_5.py::fused_gdn_prefill re-derives them from the
-        current window), so hybrid engines must serve full prompts."""
-        if "conv" in self.state["cache"] or "conv_q" in self.state["cache"]:
-            raise ValueError("prefix caching requires a pure stacked-KV cache (hybrids unsupported)")
+        prompts), so the compile count stays bounded. Hybrid (GDN) models
+        resume exactly too: the suffix prefill seeds the depthwise conv
+        from the stored taps (ops/gdn.py::causal_conv1d_seeded) and the
+        recurrent state continues through ``prev_state``."""
         ids = np.asarray(ids, np.int32).reshape(-1)
         plen = len(ids)  # NOT bucketed: one compile per registered length anyway
         if plen + min(self.buckets) >= self.max_len:

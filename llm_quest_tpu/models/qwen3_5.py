@@ -259,7 +259,17 @@ def fused_gdn(params, cfg, x, attn_mask_cur, gdn_state):
     # pad tokens must be a state no-op (right-padded serving admission)
     beta, alpha = gdn_ops.freeze_masked_updates(beta, alpha, attn_mask_cur)
 
-    fused = silu(gdn_ops.causal_conv1d(params["conv1d"], fused_in))
+    if gdn_state is not None:
+        # resume from the stored taps (zero on fresh admits — identical to
+        # the plain conv): chunked prefill / serving prefix caching continue
+        # an earlier prefill exactly
+        fused_c, conv_ext = gdn_ops.causal_conv1d_seeded(params["conv1d"], fused_in, gdn_state["conv"])
+        ext_mask = None if attn_mask_cur is None else jnp.concatenate(
+            [jnp.ones((x.shape[0], ksz - 1), bool), attn_mask_cur], axis=1
+        )
+    else:
+        fused_c, conv_ext, ext_mask = gdn_ops.causal_conv1d(params["conv1d"], fused_in), fused_in, attn_mask_cur
+    fused = silu(fused_c)
     q, k, v = jnp.split(fused, [d_qk, 2 * d_qk], axis=-1)
     q, k, v = _fused_gdn_heads(cfg, q, k, v)
     q = gdn_ops.l2_norm_clamp(q)
@@ -278,7 +288,7 @@ def fused_gdn(params, cfg, x, attn_mask_cur, gdn_state):
     new_state = None
     if gdn_state is not None:
         new_state = {
-            "conv": gdn_ops.conv_state_from_prefill(fused_in, ksz, mask=attn_mask_cur),
+            "conv": gdn_ops.conv_state_from_prefill(conv_ext, ksz, mask=ext_mask),
             "recurrent": final_state,
         }
     return out, new_state

@@ -156,9 +156,22 @@ def gated_delta_net(params, cfg, x, attn_mask_cur, gdn_state):
     k_in = linear(params["wk"], x)
     v_in = linear(params["wv"], x)
 
-    q = silu(gdn_ops.causal_conv1d(params["conv_q"], q_in))
-    k = silu(gdn_ops.causal_conv1d(params["conv_k"], k_in))
-    v = silu(gdn_ops.causal_conv1d(params["conv_v"], v_in))
+    if gdn_state is not None:
+        # resume from the stored taps (zero on fresh admits — identical to
+        # the plain conv): chunked prefill / serving prefix caching continue
+        # an earlier prefill exactly
+        q_c, q_ext = gdn_ops.causal_conv1d_seeded(params["conv_q"], q_in, gdn_state["conv_q"])
+        k_c, k_ext = gdn_ops.causal_conv1d_seeded(params["conv_k"], k_in, gdn_state["conv_k"])
+        v_c, v_ext = gdn_ops.causal_conv1d_seeded(params["conv_v"], v_in, gdn_state["conv_v"])
+        ext_mask = None if attn_mask_cur is None else jnp.concatenate(
+            [jnp.ones((x.shape[0], ksz - 1), bool), attn_mask_cur], axis=1
+        )
+    else:
+        q_c, q_ext = gdn_ops.causal_conv1d(params["conv_q"], q_in), q_in
+        k_c, k_ext = gdn_ops.causal_conv1d(params["conv_k"], k_in), k_in
+        v_c, v_ext = gdn_ops.causal_conv1d(params["conv_v"], v_in), v_in
+        ext_mask = attn_mask_cur
+    q, k, v = silu(q_c), silu(k_c), silu(v_c)
 
     q, k, v = _gdn_heads(cfg, q, k, v)
     q = gdn_ops.l2_norm_clamp(q)
@@ -187,9 +200,9 @@ def gated_delta_net(params, cfg, x, attn_mask_cur, gdn_state):
     new_state = None
     if gdn_state is not None:
         new_state = {
-            "conv_q": gdn_ops.conv_state_from_prefill(q_in, ksz, mask=attn_mask_cur),
-            "conv_k": gdn_ops.conv_state_from_prefill(k_in, ksz, mask=attn_mask_cur),
-            "conv_v": gdn_ops.conv_state_from_prefill(v_in, ksz, mask=attn_mask_cur),
+            "conv_q": gdn_ops.conv_state_from_prefill(q_ext, ksz, mask=ext_mask),
+            "conv_k": gdn_ops.conv_state_from_prefill(k_ext, ksz, mask=ext_mask),
+            "conv_v": gdn_ops.conv_state_from_prefill(v_ext, ksz, mask=ext_mask),
             "recurrent": final_state,
         }
     return out, new_state

@@ -201,6 +201,23 @@ def causal_conv1d(params, x):
     return out.astype(x.dtype)
 
 
+def causal_conv1d_seeded(params, x, conv_state):
+    """``causal_conv1d`` CONTINUING from a rolling state: the stored taps
+    (b, c, kernel_size-1, oldest first) replace the implicit zero
+    left-history, so a multi-token prefill can resume after an earlier
+    prefill/decode (chunked prefill, serving prefix caching). A zero state
+    reproduces ``causal_conv1d`` exactly — fresh prefills are unchanged.
+
+    Returns (out (b, s, c), ext (b, k-1+s, c)) — ``ext`` is the
+    taps-prepended input, which ``conv_state_from_prefill`` should consume
+    so the NEXT state can reach back into the seeded taps when s < k-1.
+    """
+    k1 = params["w"].shape[1] - 1
+    taps = jnp.moveaxis(conv_state, 1, 2).astype(x.dtype)  # (b, k-1, c)
+    ext = jnp.concatenate([taps, x], axis=1)
+    return causal_conv1d(params, ext)[:, k1:], ext
+
+
 def causal_conv1d_update(params, x_t, conv_state):
     """Single-step conv with rolling state.
 

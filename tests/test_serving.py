@@ -339,7 +339,10 @@ def test_serving_prefix_caching_two_prefixes_and_budget():
         engine.submit(rng.integers(1, 128, size=8).tolist(), 30, prefix=ib)
 
 
-def test_serving_prefix_rejected_for_hybrids():
+def test_serving_prefix_caching_hybrid():
+    """Hybrid (GDN + attention) prefix caching: the suffix prefill resumes
+    the conv taps (causal_conv1d_seeded) and recurrent state exactly —
+    prefix-cached tokens == full-prompt tokens on the flagship hybrid."""
     from llm_quest_tpu.models import qwen3_5
 
     class TextModel:
@@ -347,12 +350,23 @@ def test_serving_prefix_rejected_for_hybrids():
         init_cache = staticmethod(qwen3_5.init_cache)
 
     hp = qwen3_5.init_text(jax.random.PRNGKey(0), HYBRID_CFG)
+    rng = np.random.default_rng(11)
+    prefix = rng.integers(1, 128, size=7).tolist()  # > conv window (ksz-1=3)
+    short = rng.integers(1, 128, size=2).tolist()   # < conv window: state must
+    long = rng.integers(1, 128, size=6).tolist()    # reach back into the taps
+
     engine = ContinuousBatchingEngine(
-        TextModel, hp, HYBRID_CFG, n_slots=1, max_len=32, decode_chunk=2,
+        TextModel, hp, HYBRID_CFG, n_slots=2, max_len=40, decode_chunk=3,
         prefill_buckets=(8,), temp=0.0, eos_ids=-1, pad_id=0,
     )
-    with pytest.raises(ValueError, match="hybrid"):
-        engine.register_prefix([1, 2, 3])
+    pid = engine.register_prefix(prefix)
+    outs = engine.serve([(short, 6, pid), (long, 6, pid)])
+    for sfx, got in zip((short, long), outs):
+        ref = gen.generate_kv_cache(
+            TextModel, hp, HYBRID_CFG, jnp.asarray([prefix + sfx], jnp.int32),
+            max_gen=6, temp=0.0, eos_ids=-1, pad_id=0,
+        )["sequences"][0, len(prefix) + len(sfx):].tolist()
+        assert got == ref, (sfx, got, ref)
 
 
 def test_serving_prefix_caching_on_mesh(params):
