@@ -133,6 +133,7 @@ class _Request:
     tokens: list = field(default_factory=list)
     done: bool = False
     prefix: int | None = None  # registered prefix id (register_prefix)
+    pixels: np.ndarray | None = None  # multimodal: image pixels for this prompt
 
 
 # jit wrappers shared across engine instances (same lifetime rationale as
@@ -221,6 +222,41 @@ def _admit_prefix_impl(model, _frozen, cfg, n_slots, max_len, cache_dtype, plen,
         "mask_buf": state["mask_buf"].at[slots].set(grp_mask),
         "last_logits": state["last_logits"].at[slots].set(logits.astype(jnp.float32)),
         "seqpos": state["seqpos"].at[slots].set(plen + real_len),
+        "finished": state["finished"].at[slots].set(False),
+        "budget": state["budget"].at[slots].set(budgets),
+        "rng": state["rng"],
+    }
+
+
+def _admit_vlm_impl(model, _frozen, cfg, n_slots, max_len, cache_dtype,
+                    params, state, prompts, pmasks, pixels, prompt_pos, next_pos0,
+                    slots, budgets):
+    """Admit k MULTIMODAL requests: encode each image ONCE inside the admit
+    program (the reference re-encodes per decode step,
+    qwen3_5_generate_multimodal.py:107-123), fuse embeddings at the prompt's
+    image placeholders, prefill with host-computed 3-D MRoPE positions, then
+    scatter rows into the pool. Decode continues on seqpos = next_pos0 (the
+    max 3-D position + 1, NOT the text length — MRoPE counts the 2-D image
+    grid), which apply_text broadcasts back to T=H=W."""
+    k, lb = prompts.shape
+    grp_cache = model.init_cache(cfg, k, max_len, dtype=cache_dtype)
+    grp_mask = jnp.zeros((k, max_len), bool).at[:, :lb].set(pmasks)
+    logits_all, grp_cache, _ = model.apply(
+        params, cfg, prompts, image_pixels=pixels, attn_mask=grp_mask,
+        cache=grp_cache, position_ids=prompt_pos,
+    )
+    real_len = jnp.sum(pmasks, axis=1).astype(jnp.int32)
+    logits = logits_all[jnp.arange(k), real_len - 1]
+
+    cache = jax.tree.map(
+        lambda big, small: _insert_rows(big, small, slots, n_slots, k),
+        state["cache"], grp_cache,
+    )
+    return {
+        "cache": cache,
+        "mask_buf": state["mask_buf"].at[slots].set(grp_mask),
+        "last_logits": state["last_logits"].at[slots].set(logits.astype(jnp.float32)),
+        "seqpos": state["seqpos"].at[slots].set(next_pos0),
         "finished": state["finished"].at[slots].set(False),
         "budget": state["budget"].at[slots].set(budgets),
         "rng": state["rng"],
@@ -445,9 +481,15 @@ class ContinuousBatchingEngine:
         self._prefixes[pid] = (pcache, plen)
         return pid
 
-    def submit(self, ids, max_gen, prefix=None):
+    def submit(self, ids, max_gen, prefix=None, pixels=None):
         """Queue a prompt; returns a request id. ``prefix``: id from
-        ``register_prefix`` — ``ids`` is then the SUFFIX after that prefix."""
+        ``register_prefix`` — ``ids`` is then the SUFFIX after that prefix.
+        ``pixels``: image pixels for a MULTIMODAL prompt whose ids carry the
+        image placeholders already expanded (the model's apply must accept
+        ``image_pixels``, e.g. models/qwen3_5.py::apply); encoded once at
+        admission, never re-encoded during decode."""
+        if prefix is not None and pixels is not None:
+            raise ValueError("prefix caching does not compose with image prompts yet")
         ids = np.asarray(ids, np.int32).reshape(-1)
         lb = self._bucket_len(len(ids))
         plen = self._prefixes[prefix][1] if prefix is not None else 0
@@ -457,7 +499,10 @@ class ContinuousBatchingEngine:
             )
         rid = self._next_rid
         self._next_rid += 1
-        req = _Request(rid, ids, max_gen, prefix=prefix)
+        req = _Request(
+            rid, ids, max_gen, prefix=prefix,
+            pixels=None if pixels is None else np.asarray(pixels),
+        )
         self._requests[rid] = req
         self._queue.append(req)
         return rid
@@ -522,6 +567,56 @@ class ContinuousBatchingEngine:
         for r, s in zip(reqs, slots):
             self._slot_req[s] = r
 
+    def _admit_group_vlm(self, reqs, slots):
+        """_admit_group for multimodal requests: same pow2 wave padding;
+        each row carries its own image (one vision encode per row, inside
+        the one admit program) and host-computed 3-D MRoPE positions. All
+        images in a wave must share a shape (one compiled program per
+        (bucket, pixel shape))."""
+        from llm_quest_tpu.models.qwen3_5 import compute_3d_position_ids, get_feeds_3d_shape
+
+        lb = max(self._bucket_len(len(r.ids)) for r in reqs)
+        k = 1 << (len(reqs) - 1).bit_length()
+        pshape = reqs[0].pixels.shape
+        assert all(r.pixels.shape == pshape for r in reqs), "mixed image shapes in one wave"
+        prompt = np.full((k, lb), self.pad_id, np.int32)
+        pmask = np.zeros((k, lb), bool)
+        pixels = np.empty((k,) + pshape, reqs[0].pixels.dtype)
+        prompt_pos = np.zeros((3, k, lb), np.int32)
+        next_pos0 = np.empty((k,), np.int32)
+        slot_idx = np.empty((k,), np.int32)
+        budgets = np.empty((k,), np.int32)
+        for j in range(k):
+            r = reqs[min(j, len(reqs) - 1)]
+            n = len(r.ids)
+            prompt[j, :n] = r.ids
+            pmask[j, :n] = True
+            pixels[j] = r.pixels
+            feeds = get_feeds_3d_shape(self.cfg, (1,) + pshape)
+            pos = np.asarray(compute_3d_position_ids(self.cfg, r.ids[None], feeds))  # (3, 1, n)
+            prompt_pos[:, j, :n] = pos[:, 0]
+            next_pos0[j] = int(pos.max()) + 1
+            # bucket-pad columns continue sequentially — masked, RoPE-irrelevant
+            prompt_pos[:, j, n:] = next_pos0[j] + np.arange(lb - n)
+            slot_idx[j] = slots[min(j, len(reqs) - 1)]
+            budgets[j] = r.max_gen
+        key = (id(self.model), _freeze(self.cfg), self.n_slots, self.max_len,
+               str(self.cache_dtype), self.mesh, "admit_vlm")
+        if key not in _SERVE_JIT_CACHE:
+            _SERVE_JIT_CACHE[key] = jax.jit(
+                partial(_admit_vlm_impl, self.model, _freeze(self.cfg), self.cfg,
+                        self.n_slots, self.max_len, self.cache_dtype),
+                donate_argnums=(1,),
+                out_shardings=self._state_shardings,
+            )
+        self.state = _SERVE_JIT_CACHE[key](
+            self.params, self.state, jnp.asarray(prompt), jnp.asarray(pmask),
+            jnp.asarray(pixels), jnp.asarray(prompt_pos), jnp.asarray(next_pos0),
+            jnp.asarray(slot_idx), jnp.asarray(budgets),
+        )
+        for r, s in zip(reqs, slots):
+            self._slot_req[s] = r
+
     def _drain_one(self):
         """Block on the OLDEST in-flight chunk, credit its tokens to the
         requests resident at its dispatch, retire finished ones. No device
@@ -550,15 +645,20 @@ class ContinuousBatchingEngine:
         free = [s for s in range(self.n_slots) if self._slot_req[s] is None]
         if free and self._queue:
             take = [self._queue.popleft() for _ in range(min(len(free), len(self._queue)))]
-            groups = {}  # one admit wave per (prefix or None); dict keeps FIFO order
+            # one admit wave per kind: plain (None), per registered prefix,
+            # or multimodal grouped by image shape; dict keeps FIFO order
+            groups = {}
             for r in take:
-                groups.setdefault(r.prefix, []).append(r)
-            for pid, reqs in groups.items():
+                gkey = ("vlm", r.pixels.shape) if r.pixels is not None else r.prefix
+                groups.setdefault(gkey, []).append(r)
+            for gkey, reqs in groups.items():
                 slots_for, free = free[: len(reqs)], free[len(reqs):]
-                if pid is None:
+                if isinstance(gkey, tuple):
+                    self._admit_group_vlm(reqs, slots_for)
+                elif gkey is None:
                     self._admit_group(reqs, slots_for)
                 else:
-                    self._admit_group_prefix(pid, reqs, slots_for)
+                    self._admit_group_prefix(gkey, reqs, slots_for)
         if any(r is not None for r in self._slot_req):
             self.state, packed = self._decode_jit(self.params, self.state, self.eos_arr)
             self._inflight.append((packed, tuple(self._slot_req)))

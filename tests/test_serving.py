@@ -390,3 +390,64 @@ def test_serving_prefix_caching_on_mesh(params):
     outs = engine.serve([(sfx, 5, pid) for sfx in suffixes])
     for sfx, got in zip(suffixes, outs):
         assert got == _reference_tokens(params, prefix + sfx, 5), (sfx, got)
+
+
+VLM_CFG = {
+    "vocab_size": 512, "emb_dim": 64, "hidden_dim": 128, "n_layers": 4, "linear_sdpa_ratio": 2,
+    "n_heads": 4, "num_kv_groups": 2, "head_dim": 16, "rope_base": 10_000_000,
+    "partial_rope_factor": 0.25, "context_length": 128, "linear_num_qk_heads": 2,
+    "linear_num_value_heads": 4, "linear_qk_head_dim": 8, "linear_value_head_dim": 8,
+    "linear_conv_kernel_size": 4, "tie_embeddings": True, "mrope_section": [1, 1, 0],
+    "vision_n_layers": 2, "vision_emb_dim": 32, "vision_hidden_dim": 64, "vision_num_heads": 2,
+    "llm_d_in": 64, "in_channels": 3, "patch_size": 16, "spatial_merge_size": 2,
+    "temporal_patch_size": 2, "num_position_embeddings": 256, "img_width": 64, "img_height": 64,
+    "vision_rope_base": 10_000, "image_token_id": 500, "p_dropout": 0.0, "dtype": jnp.float32,
+}
+
+
+def test_serving_multimodal_vlm():
+    """MULTIMODAL continuous-batching serving: image+text requests (each
+    with its OWN image, encoded once at admission) interleave with a
+    text-only request in one engine; every multimodal request's greedy
+    tokens equal generate_multimodal's, the text-only one equals the
+    batched text engine's."""
+    from llm_quest_tpu.models import qwen3_5
+
+    class VLM:
+        apply = staticmethod(qwen3_5.apply)
+        init_cache = staticmethod(qwen3_5.init_cache)
+
+    params = qwen3_5.init(jax.random.PRNGKey(0), VLM_CFG)
+    n_vis = (64 // 16) ** 2 // 2 ** 2  # 4 merged vision tokens
+    rng = np.random.default_rng(12)
+
+    def mm_prompt(head, tail):
+        return (rng.integers(1, 500, size=head).tolist()
+                + [VLM_CFG["image_token_id"]] * n_vis
+                + rng.integers(1, 500, size=tail).tolist())
+
+    prompts = [mm_prompt(2, 3), mm_prompt(4, 1)]
+    images = [np.asarray(rng.standard_normal((3, 2, 64, 64)), np.float32) for _ in prompts]
+    text_only = rng.integers(1, 500, size=5).tolist()
+
+    engine = ContinuousBatchingEngine(
+        VLM, params, VLM_CFG, n_slots=2, max_len=48, decode_chunk=3,
+        prefill_buckets=(16,), temp=0.0, eos_ids=-1, pad_id=0,
+    )
+    rids = [engine.submit(p, 6, pixels=img) for p, img in zip(prompts, images)]
+    rid_text = engine.submit(text_only, 6)
+    while engine.step():
+        pass
+
+    for rid, p, img in zip(rids, prompts, images):
+        ref = qwen3_5.generate_multimodal(
+            params, VLM_CFG, jnp.asarray([p], jnp.int32), jnp.asarray(img[None]),
+            max_gen=6, temp=0.0, eos_ids=-1, pad_id=0,
+        )["sequences"][0, len(p):].tolist()
+        assert engine._requests[rid].tokens == ref, (rid, engine._requests[rid].tokens, ref)
+
+    ref_text = gen.generate_kv_cache(
+        VLM, params, VLM_CFG, jnp.asarray([text_only], jnp.int32),
+        max_gen=6, temp=0.0, eos_ids=-1, pad_id=0,
+    )["sequences"][0, len(text_only):].tolist()
+    assert engine._requests[rid_text].tokens == ref_text
