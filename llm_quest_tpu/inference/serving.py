@@ -55,6 +55,7 @@ Reference: the closest thing upstream is the left-pad batched loop
 TPU-first addition.
 """
 
+import time
 from collections import deque
 from dataclasses import dataclass, field
 from functools import partial
@@ -134,6 +135,12 @@ class _Request:
     done: bool = False
     prefix: int | None = None  # registered prefix id (register_prefix)
     pixels: np.ndarray | None = None  # multimodal: image pixels for this prompt
+    # observability timestamps (time.monotonic): queued / admitted to a slot /
+    # first token credited / retired — the host stamps them, never the device
+    t_submit: float = 0.0
+    t_admit: float = 0.0
+    t_first: float = 0.0
+    t_done: float = 0.0
 
 
 # jit wrappers shared across engine instances (same lifetime rationale as
@@ -411,6 +418,11 @@ class ContinuousBatchingEngine:
         self._requests = {}
         self._prefixes = {}  # pid -> (prefilled b=1 cache row, real prefix len)
         self._next_rid = 0
+        # observability counters (stats()): admit waves, decode chunks, and
+        # per-chunk live-slot occupancy for utilization
+        self._n_waves = 0
+        self._n_chunks = 0
+        self._busy_slot_steps = 0
         # pipelined scheduling: keep up to ``pipeline_depth`` decode chunks
         # in flight and drain the oldest while newer ones execute — the
         # host's read + retire/refill bookkeeping overlaps device compute
@@ -502,6 +514,7 @@ class ContinuousBatchingEngine:
         req = _Request(
             rid, ids, max_gen, prefix=prefix,
             pixels=None if pixels is None else np.asarray(pixels),
+            t_submit=time.monotonic(),
         )
         self._requests[rid] = req
         self._queue.append(req)
@@ -531,8 +544,7 @@ class ContinuousBatchingEngine:
             self.params, self.state, jnp.asarray(prompt), jnp.asarray(pmask),
             jnp.asarray(slot_idx), jnp.asarray(budgets),
         )
-        for r, s in zip(reqs, slots):
-            self._slot_req[s] = r
+        self._mark_admitted(reqs, slots)
 
     def _admit_group_prefix(self, pid, reqs, slots):
         """_admit_group for requests sharing registered prefix ``pid``:
@@ -564,8 +576,7 @@ class ContinuousBatchingEngine:
             self.params, self.state, pcache, jnp.asarray(prompt),
             jnp.asarray(pmask), jnp.asarray(slot_idx), jnp.asarray(budgets),
         )
-        for r, s in zip(reqs, slots):
-            self._slot_req[s] = r
+        self._mark_admitted(reqs, slots)
 
     def _admit_group_vlm(self, reqs, slots):
         """_admit_group for multimodal requests: same pow2 wave padding;
@@ -614,8 +625,14 @@ class ContinuousBatchingEngine:
             jnp.asarray(pixels), jnp.asarray(prompt_pos), jnp.asarray(next_pos0),
             jnp.asarray(slot_idx), jnp.asarray(budgets),
         )
+        self._mark_admitted(reqs, slots)
+
+    def _mark_admitted(self, reqs, slots):
+        now = time.monotonic()
         for r, s in zip(reqs, slots):
             self._slot_req[s] = r
+            r.t_admit = now
+        self._n_waves += 1
 
     def _drain_one(self):
         """Block on the OLDEST in-flight chunk, credit its tokens to the
@@ -625,14 +642,19 @@ class ContinuousBatchingEngine:
         stop growing their mask until an admit reuses the slot."""
         handle, smap = self._inflight.popleft()
         packed = np.asarray(handle)  # ONE transfer: (n_slots, chunk + 1)
+        now = time.monotonic()
         tokens, finished = packed[:, :-1], packed[:, -1].astype(bool)
         for slot, req in enumerate(smap):
             if req is None or req.done:
                 continue
             take = min(self.decode_chunk, req.max_gen - len(req.tokens))
             req.tokens.extend(int(t) for t in tokens[slot, :take])
+            if req.tokens and req.t_first == 0.0:
+                # drain-time stamp: includes pipeline lag (depth-1 = true TTFT)
+                req.t_first = now
             if finished[slot] or len(req.tokens) >= req.max_gen:
                 req.done = True
+                req.t_done = now
                 if self._slot_req[slot] is req:
                     self._slot_req[slot] = None
 
@@ -659,14 +681,55 @@ class ContinuousBatchingEngine:
                     self._admit_group(reqs, slots_for)
                 else:
                     self._admit_group_prefix(gkey, reqs, slots_for)
-        if any(r is not None for r in self._slot_req):
+        live = sum(r is not None for r in self._slot_req)
+        if live:
             self.state, packed = self._decode_jit(self.params, self.state, self.eos_arr)
             self._inflight.append((packed, tuple(self._slot_req)))
+            self._n_chunks += 1
+            self._busy_slot_steps += live
             return True
         if self._inflight:  # nothing live to dispatch — wind the pipeline down
             self._drain_one()
             return True
         return bool(self._queue)
+
+    def stats(self):
+        """Serving observability (host-side, no device traffic): request
+        latency percentiles, queue wait, TTFT, slot utilization, and
+        effective generated-token throughput. TTFT/latency stamps are taken
+        when the chunk containing the token DRAINS — with pipeline_depth>1
+        they include up to (depth-1) chunks of pipeline lag (set depth=1 to
+        measure true latency).
+
+        Returns a flat dict; percentile entries are None until at least one
+        request finished."""
+        done = [r for r in self._requests.values() if r.done]
+        out = {
+            "requests_submitted": len(self._requests),
+            "requests_completed": len(done),
+            "tokens_generated": sum(len(r.tokens) for r in self._requests.values()),
+            "admit_waves": self._n_waves,
+            "decode_chunks": self._n_chunks,
+            "slot_utilization": (
+                self._busy_slot_steps / (self._n_chunks * self.n_slots)
+                if self._n_chunks else 0.0
+            ),
+        }
+        if done:
+            import statistics
+
+            ttft = [r.t_first - r.t_submit for r in done if r.t_first]
+            lat = [r.t_done - r.t_submit for r in done]
+            wait = [r.t_admit - r.t_submit for r in done]
+            span = max(r.t_done for r in done) - min(r.t_submit for r in done)
+            out.update(
+                ttft_p50_s=statistics.median(ttft) if ttft else None,
+                latency_p50_s=statistics.median(lat),
+                latency_max_s=max(lat),
+                queue_wait_p50_s=statistics.median(wait),
+                gen_tok_per_s=sum(len(r.tokens) for r in done) / span if span > 0 else None,
+            )
+        return out
 
     def serve(self, prompts):
         """Serve a batch of (ids, max_gen) or (ids, max_gen, prefix_id)

@@ -451,3 +451,24 @@ def test_serving_multimodal_vlm():
         max_gen=6, temp=0.0, eos_ids=-1, pad_id=0,
     )["sequences"][0, len(text_only):].tolist()
     assert engine._requests[rid_text].tokens == ref_text
+
+
+def test_serving_stats(params):
+    """stats() accounting: completions, token counts, monotone stamps,
+    utilization in (0, 1]."""
+    rng = np.random.default_rng(13)
+    prompts = [rng.integers(1, 128, size=n).tolist() for n in (3, 7, 5)]
+    engine = ContinuousBatchingEngine(
+        qwen3, params, CFG, n_slots=2, max_len=32, decode_chunk=3,
+        prefill_buckets=(8,), temp=0.0, eos_ids=-1, pad_id=0, pipeline_depth=1,
+    )
+    engine.serve([(p, 5) for p in prompts])
+    s = engine.stats()
+    assert s["requests_submitted"] == 3 and s["requests_completed"] == 3
+    assert s["tokens_generated"] == 15
+    assert 0 < s["slot_utilization"] <= 1
+    assert s["decode_chunks"] >= 3 and s["admit_waves"] >= 2  # 3 reqs / 2 slots
+    assert s["ttft_p50_s"] > 0 and s["latency_p50_s"] >= s["ttft_p50_s"]
+    assert s["queue_wait_p50_s"] >= 0 and s["gen_tok_per_s"] > 0
+    for r in engine._requests.values():
+        assert r.t_submit <= r.t_admit <= r.t_first <= r.t_done
