@@ -270,6 +270,50 @@ def _admit_vlm_impl(model, _frozen, cfg, n_slots, max_len, cache_dtype,
     }
 
 
+def _admit_vlm_prefix_impl(model, _frozen, cfg, n_slots, max_len, cache_dtype, plen,
+                           params, state, pcache, prompts, pmasks, pixels, prompt_pos,
+                           next_pos0, slots, budgets):
+    """_admit_vlm_impl on top of a registered TEXT prefix: the broadcast
+    prefix row seeds the group cache and the image-bearing suffix prefills
+    at q_start=plen. The host passes suffix MRoPE positions offset by plen —
+    exact because a pure-text prefix contributes exactly plen to the global
+    position cumsum (compute_3d_position_ids is translation-invariant there;
+    register_prefix rejects prefixes containing image placeholders)."""
+    k, lb = prompts.shape
+
+    def bcast(x):
+        if getattr(x, "ndim", 0) >= 3 and x.shape[1] == 1:
+            return jnp.broadcast_to(x, x.shape[:1] + (k,) + x.shape[2:])
+        return x
+
+    grp_cache = jax.tree.map(bcast, pcache)  # "pos" stays the scalar plen
+    grp_mask = (
+        jnp.zeros((k, max_len), bool)
+        .at[:, :plen].set(True)
+        .at[:, plen : plen + lb].set(pmasks)
+    )
+    logits_all, grp_cache, _ = model.apply(
+        params, cfg, prompts, image_pixels=pixels, attn_mask=grp_mask,
+        cache=grp_cache, position_ids=prompt_pos,
+    )
+    real_len = jnp.sum(pmasks, axis=1).astype(jnp.int32)
+    logits = logits_all[jnp.arange(k), real_len - 1]
+
+    cache = jax.tree.map(
+        lambda big, small: _insert_rows(big, small, slots, n_slots, k),
+        state["cache"], grp_cache,
+    )
+    return {
+        "cache": cache,
+        "mask_buf": state["mask_buf"].at[slots].set(grp_mask),
+        "last_logits": state["last_logits"].at[slots].set(logits.astype(jnp.float32)),
+        "seqpos": state["seqpos"].at[slots].set(next_pos0),
+        "finished": state["finished"].at[slots].set(False),
+        "budget": state["budget"].at[slots].set(budgets),
+        "rng": state["rng"],
+    }
+
+
 def _decode_chunk_impl(model, _frozen, cfg, n_slots, max_len, decode_chunk,
                        sample_kw, pad_id, params, state, eos_arr):
     sample = partial(sampling, **dict(sample_kw))
@@ -478,6 +522,11 @@ class ContinuousBatchingEngine:
         from the stored taps (ops/gdn.py::causal_conv1d_seeded) and the
         recurrent state continues through ``prev_state``."""
         ids = np.asarray(ids, np.int32).reshape(-1)
+        if "image_token_id" in self.cfg and np.any(ids == self.cfg["image_token_id"]):
+            raise ValueError(
+                "prefixes must be pure text: suffix MRoPE positions offset by the "
+                "prefix LENGTH, which only equals its position count for text tokens"
+            )
         plen = len(ids)  # NOT bucketed: one compile per registered length anyway
         if plen + min(self.buckets) >= self.max_len:
             raise ValueError(f"prefix of {plen} leaves no room in max_len {self.max_len}")
@@ -500,8 +549,6 @@ class ContinuousBatchingEngine:
         image placeholders already expanded (the model's apply must accept
         ``image_pixels``, e.g. models/qwen3_5.py::apply); encoded once at
         admission, never re-encoded during decode."""
-        if prefix is not None and pixels is not None:
-            raise ValueError("prefix caching does not compose with image prompts yet")
         ids = np.asarray(ids, np.int32).reshape(-1)
         lb = self._bucket_len(len(ids))
         plen = self._prefixes[prefix][1] if prefix is not None else 0
@@ -586,6 +633,8 @@ class ContinuousBatchingEngine:
         (bucket, pixel shape))."""
         from llm_quest_tpu.models.qwen3_5 import compute_3d_position_ids, get_feeds_3d_shape
 
+        pid = reqs[0].prefix  # step() groups waves by (shape, prefix)
+        pcache, plen = self._prefixes[pid] if pid is not None else (None, 0)
         lb = max(self._bucket_len(len(r.ids)) for r in reqs)
         k = 1 << (len(reqs) - 1).bit_length()
         pshape = reqs[0].pixels.shape
@@ -604,7 +653,8 @@ class ContinuousBatchingEngine:
             pmask[j, :n] = True
             pixels[j] = r.pixels
             feeds = get_feeds_3d_shape(self.cfg, (1,) + pshape)
-            pos = np.asarray(compute_3d_position_ids(self.cfg, r.ids[None], feeds))  # (3, 1, n)
+            # a pure-text prefix shifts every 3-D position by exactly plen
+            pos = plen + np.asarray(compute_3d_position_ids(self.cfg, r.ids[None], feeds))
             prompt_pos[:, j, :n] = pos[:, 0]
             next_pos0[j] = int(pos.max()) + 1
             # bucket-pad columns continue sequentially — masked, RoPE-irrelevant
@@ -612,19 +662,28 @@ class ContinuousBatchingEngine:
             slot_idx[j] = slots[min(j, len(reqs) - 1)]
             budgets[j] = r.max_gen
         key = (id(self.model), _freeze(self.cfg), self.n_slots, self.max_len,
-               str(self.cache_dtype), self.mesh, "admit_vlm")
+               str(self.cache_dtype), self.mesh, "admit_vlm", plen if pid is not None else None)
         if key not in _SERVE_JIT_CACHE:
-            _SERVE_JIT_CACHE[key] = jax.jit(
-                partial(_admit_vlm_impl, self.model, _freeze(self.cfg), self.cfg,
-                        self.n_slots, self.max_len, self.cache_dtype),
-                donate_argnums=(1,),
-                out_shardings=self._state_shardings,
-            )
-        self.state = _SERVE_JIT_CACHE[key](
-            self.params, self.state, jnp.asarray(prompt), jnp.asarray(pmask),
-            jnp.asarray(pixels), jnp.asarray(prompt_pos), jnp.asarray(next_pos0),
+            if pid is not None:
+                _SERVE_JIT_CACHE[key] = jax.jit(
+                    partial(_admit_vlm_prefix_impl, self.model, _freeze(self.cfg), self.cfg,
+                            self.n_slots, self.max_len, self.cache_dtype, plen),
+                    donate_argnums=(1,),
+                    out_shardings=self._state_shardings,
+                )
+            else:
+                _SERVE_JIT_CACHE[key] = jax.jit(
+                    partial(_admit_vlm_impl, self.model, _freeze(self.cfg), self.cfg,
+                            self.n_slots, self.max_len, self.cache_dtype),
+                    donate_argnums=(1,),
+                    out_shardings=self._state_shardings,
+                )
+        args = (self.params, self.state) + (() if pid is None else (pcache,)) + (
+            jnp.asarray(prompt), jnp.asarray(pmask), jnp.asarray(pixels),
+            jnp.asarray(prompt_pos), jnp.asarray(next_pos0),
             jnp.asarray(slot_idx), jnp.asarray(budgets),
         )
+        self.state = _SERVE_JIT_CACHE[key](*args)
         self._mark_admitted(reqs, slots)
 
     def _mark_admitted(self, reqs, slots):
@@ -671,7 +730,7 @@ class ContinuousBatchingEngine:
             # or multimodal grouped by image shape; dict keeps FIFO order
             groups = {}
             for r in take:
-                gkey = ("vlm", r.pixels.shape) if r.pixels is not None else r.prefix
+                gkey = ("vlm", r.pixels.shape, r.prefix) if r.pixels is not None else r.prefix
                 groups.setdefault(gkey, []).append(r)
             for gkey, reqs in groups.items():
                 slots_for, free = free[: len(reqs)], free[len(reqs):]

@@ -472,3 +472,46 @@ def test_serving_stats(params):
     assert s["queue_wait_p50_s"] >= 0 and s["gen_tok_per_s"] > 0
     for r in engine._requests.values():
         assert r.t_submit <= r.t_admit <= r.t_first <= r.t_done
+
+
+def test_serving_prefix_plus_multimodal():
+    """The canonical VLM serving shape — shared text system prompt +
+    per-request image suffix: prefix-cached multimodal requests are
+    token-identical to generate_multimodal on the full prompt (validates
+    the plen MRoPE translation); pure-text prefixes enforced."""
+    from llm_quest_tpu.models import qwen3_5
+
+    class VLM:
+        apply = staticmethod(qwen3_5.apply)
+        init_cache = staticmethod(qwen3_5.init_cache)
+
+    params = qwen3_5.init(jax.random.PRNGKey(0), VLM_CFG)
+    n_vis = 4
+    rng = np.random.default_rng(14)
+    sysprompt = rng.integers(1, 500, size=9).tolist()
+    sfx = [
+        rng.integers(1, 500, size=2).tolist() + [VLM_CFG["image_token_id"]] * n_vis
+        + rng.integers(1, 500, size=2).tolist()
+        for _ in range(2)
+    ]
+    images = [np.asarray(rng.standard_normal((3, 2, 64, 64)), np.float32) for _ in sfx]
+
+    engine = ContinuousBatchingEngine(
+        VLM, params, VLM_CFG, n_slots=2, max_len=48, decode_chunk=3,
+        prefill_buckets=(16,), temp=0.0, eos_ids=-1, pad_id=0,
+    )
+    pid = engine.register_prefix(sysprompt)
+    rids = [engine.submit(s, 6, prefix=pid, pixels=img) for s, img in zip(sfx, images)]
+    while engine.step():
+        pass
+
+    for rid, s, img in zip(rids, sfx, images):
+        full = sysprompt + s
+        ref = qwen3_5.generate_multimodal(
+            params, VLM_CFG, jnp.asarray([full], jnp.int32), jnp.asarray(img[None]),
+            max_gen=6, temp=0.0, eos_ids=-1, pad_id=0,
+        )["sequences"][0, len(full):].tolist()
+        assert engine._requests[rid].tokens == ref, (s, engine._requests[rid].tokens, ref)
+
+    with pytest.raises(ValueError, match="pure text"):
+        engine.register_prefix([1, VLM_CFG["image_token_id"], 2])
