@@ -201,3 +201,43 @@ def _RPT_INSTR_PLUS_CTX(tok, entries, t_idx):
     full = entries[0]["question"] + "\n\n" + f"{solution} So the answer is <answer>{answer}</answer>"
     ctx = tok.decode(tok.encode(full)[: t_idx + 1])
     return RPT_DEFAULT_INSTRUCTION + ctx
+
+
+def test_prefetch_to_device_order_and_errors():
+    """data/prefetch.py: batches arrive in order, already on device; an
+    iterator exception re-raises at the consumer; mesh shardings apply."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from llm_quest_tpu.data.prefetch import prefetch_to_device
+    from llm_quest_tpu.parallel import create_mesh
+
+    batches = [{"x": np.full((8, 4), i, np.float32), "i": np.int32(i)} for i in range(5)]
+    got = list(prefetch_to_device(iter(batches), size=2))
+    assert len(got) == 5
+    for i, b in enumerate(got):
+        assert isinstance(b["x"], jax.Array) and int(b["i"]) == i
+        assert float(b["x"][0, 0]) == i
+
+    # mesh placement via a per-batch shardings callable (DP over "data")
+    if jax.device_count() >= 8:
+        mesh = create_mesh(8, model_parallel=2)
+
+        def shardings(batch):
+            def spec(x):
+                nd = getattr(x, "ndim", 0)
+                return NamedSharding(mesh, P("data", *([None] * (nd - 1))) if nd else P())
+
+            return jax.tree.map(spec, batch)
+
+        got = list(prefetch_to_device(iter(batches), sharding=shardings))
+        assert got[3]["x"].sharding.spec[0] == "data"
+        np.testing.assert_array_equal(np.asarray(got[3]["x"]), batches[3]["x"])
+
+    def bad():
+        yield batches[0]
+        raise RuntimeError("loader broke")
+
+    it = prefetch_to_device(bad(), size=2)
+    next(it)
+    with pytest.raises(RuntimeError, match="loader broke"):
+        next(it)
