@@ -515,3 +515,39 @@ def test_serving_prefix_plus_multimodal():
 
     with pytest.raises(ValueError, match="pure text"):
         engine.register_prefix([1, VLM_CFG["image_token_id"], 2])
+
+
+def test_serving_hybrid_on_mesh():
+    """The hybrid (GDN + attention) serves mesh-sharded: GDN conv/recurrent
+    states shard like the KV pool (slots over "data", value heads over
+    "model") and XLA partitions the chunked delta rule; tokens match the
+    single-device engine."""
+    from llm_quest_tpu.models import qwen3_5
+    from llm_quest_tpu.parallel import create_mesh, sharding_rules_llama
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 devices")
+    mesh = create_mesh(8, model_parallel=2)
+
+    class TextModel:
+        apply = staticmethod(qwen3_5.apply_text)
+        init_cache = staticmethod(qwen3_5.init_cache)
+
+    hp = qwen3_5.init_text(jax.random.PRNGKey(1), HYBRID_CFG)
+    rng = np.random.default_rng(15)
+    prompts = [rng.integers(1, 128, size=n).tolist() for n in (3, 7, 5, 11, 4)]
+
+    engine = ContinuousBatchingEngine(
+        TextModel, hp, HYBRID_CFG, n_slots=4, max_len=32, decode_chunk=3,
+        prefill_buckets=(8, 16), temp=0.0, eos_ids=-1, pad_id=0,
+        mesh=mesh, param_rules=sharding_rules_llama,
+    )
+    rec = engine.state["cache"]["recurrent"]
+    assert tuple(rec.sharding.spec)[:3] == (None, "data", "model"), rec.sharding.spec
+    outs = engine.serve([(p, 5) for p in prompts])
+    for p, got in zip(prompts, outs):
+        ref = gen.generate_kv_cache(
+            TextModel, hp, HYBRID_CFG, jnp.asarray([p], jnp.int32),
+            max_gen=5, temp=0.0, eos_ids=-1, pad_id=0,
+        )["sequences"][0, len(p):].tolist()
+        assert got == ref, (p, got, ref)
