@@ -14,9 +14,12 @@ TPU redesign (everything static-shape, three compiled programs total):
   per-row VECTOR (inference/cache.py handles vector pos via a vmapped
   per-row dynamic_update_slice; ops/masks.py::causal_mask takes the vector
   as per-row ``q_start``). Positions-for-RoPE are tracked separately per
-  row — cache columns include bucket padding, exactly like the batched
-  engine's convention, so per-request tokens are BIT-IDENTICAL to
-  ``generate_batched_kv_cache`` under greedy decoding.
+  row; after admission the column pointer rewinds to the REAL prompt
+  length, so decode overwrites the masked bucket-pad columns and cache
+  columns stay CONTIGUOUS with tokens (same attended set — per-request
+  tokens are BIT-IDENTICAL to ``generate_batched_kv_cache`` under greedy
+  decoding — but max_len only needs prompt+gen, and window-rewrite schemes
+  like speculative decoding can re-feed the last committed token).
 - **Admit** (one jit per prompt bucket): prefill the new prompt on a fresh
   b=1 cache, then insert the row (cache row, mask row, last-token logits,
   counters) into the pool with dynamic_update_slice — no other slot is
@@ -162,6 +165,12 @@ def _admit_impl(model, _frozen, cfg, n_slots, max_len, cache_dtype,
     )
     real_len = jnp.sum(pmasks, axis=1).astype(jnp.int32)  # (k,)
     logits = logits_all[jnp.arange(k), real_len - 1]  # (k, v)
+    # per-row column pointer = REAL length, not the bucket: decode overwrites
+    # the masked bucket-pad columns, so cache columns stay contiguous with
+    # tokens (same attended set — bit-identical outputs — but max_len only
+    # needs real_len+gen, and window-rewrite schemes like speculative
+    # decoding can re-feed the last committed token at pos-1)
+    grp_cache = {**grp_cache, "pos": real_len}
 
     cache = jax.tree.map(
         lambda big, small: _insert_rows(big, small, slots, n_slots, k),
@@ -219,6 +228,7 @@ def _admit_prefix_impl(model, _frozen, cfg, n_slots, max_len, cache_dtype, plen,
     )
     real_len = jnp.sum(pmasks, axis=1).astype(jnp.int32)  # (k,) suffix tokens
     logits = logits_all[jnp.arange(k), real_len - 1]
+    grp_cache = {**grp_cache, "pos": plen + real_len}  # contiguous columns
 
     cache = jax.tree.map(
         lambda big, small: _insert_rows(big, small, slots, n_slots, k),
@@ -254,6 +264,7 @@ def _admit_vlm_impl(model, _frozen, cfg, n_slots, max_len, cache_dtype,
     )
     real_len = jnp.sum(pmasks, axis=1).astype(jnp.int32)
     logits = logits_all[jnp.arange(k), real_len - 1]
+    grp_cache = {**grp_cache, "pos": real_len}  # contiguous columns
 
     cache = jax.tree.map(
         lambda big, small: _insert_rows(big, small, slots, n_slots, k),
@@ -298,6 +309,7 @@ def _admit_vlm_prefix_impl(model, _frozen, cfg, n_slots, max_len, cache_dtype, p
     )
     real_len = jnp.sum(pmasks, axis=1).astype(jnp.int32)
     logits = logits_all[jnp.arange(k), real_len - 1]
+    grp_cache = {**grp_cache, "pos": plen + real_len}  # contiguous columns
 
     cache = jax.tree.map(
         lambda big, small: _insert_rows(big, small, slots, n_slots, k),
