@@ -53,9 +53,21 @@ multi-chip too; tokens are bit-identical to the single-device engine
 (tests/test_serving.py::test_serving_sharded_on_mesh,
 ::test_serving_sharded_int8_kv_flash_decode_on_mesh).
 
+Speculative serving: pass ``draft_model/draft_params/draft_cfg`` (+
+``gamma``) — every scheduler chunk becomes ``decode_chunk`` DRAFT+VERIFY
+windows advancing all slots in parallel: γ autoregressive draft steps, ONE
+target forward over [last committed, γ drafted] (re-fed last token —
+contiguous columns make the rewrite exact), greedy longest-prefix
+acceptance, per-row variable advance over the same vector-pos pool.
+LOSSLESS: greedy tokens equal the plain engine's exactly
+(tests/test_serving.py::test_serving_speculative_lossless); a perfect
+draft commits γ+1 tokens per window
+(::test_serving_speculative_self_draft_accepts_everything).
+
 Reference: the closest thing upstream is the left-pad batched loop
-(generate.py:360-469), which cannot admit mid-flight; this subsystem is a
-TPU-first addition.
+(generate.py:360-469), which cannot admit mid-flight, and the b=1
+speculative engine (speculative_decoding/spec_decoding_engine.py) this
+vectorizes; the combination is a TPU-first addition.
 """
 
 import time
@@ -366,6 +378,164 @@ def _decode_chunk_impl(model, _frozen, cfg, n_slots, max_len, decode_chunk,
     return new_state, packed  # (n_slots, chunk + 1)
 
 
+def _admit_spec_impl(model, draft_model, _frozen, cfg, dcfg, n_slots, max_len,
+                     cache_dtype, params, dparams, state, prompts, pmasks,
+                     slots, budgets):
+    """Speculative admit: the plain admit plus a DRAFT-model prefill of the
+    same prompts (the draft pool cache mirrors the target's slot/column
+    conventions) and the per-row last committed token, which every verify
+    window re-feeds."""
+    k, lb = prompts.shape
+    grp_mask = jnp.zeros((k, max_len), bool).at[:, :lb].set(pmasks)
+    real_len = jnp.sum(pmasks, axis=1).astype(jnp.int32)
+
+    grp_cache = model.init_cache(cfg, k, max_len, dtype=cache_dtype)
+    logits_all, grp_cache, _ = model.apply(
+        params, cfg, prompts, attn_mask=grp_mask, cache=grp_cache
+    )
+    logits = logits_all[jnp.arange(k), real_len - 1]
+    grp_cache = {**grp_cache, "pos": real_len}
+
+    grp_d = draft_model.init_cache(dcfg, k, max_len, dtype=cache_dtype)
+    _, grp_d, _ = draft_model.apply(dparams, dcfg, prompts, attn_mask=grp_mask, cache=grp_d)
+    grp_d = {**grp_d, "pos": real_len}
+
+    last_tok = prompts[jnp.arange(k), real_len - 1]
+
+    insert = lambda big, small: _insert_rows(big, small, slots, n_slots, k)  # noqa: E731
+    return {
+        "cache": jax.tree.map(insert, state["cache"], grp_cache),
+        "d_cache": jax.tree.map(insert, state["d_cache"], grp_d),
+        "mask_buf": state["mask_buf"].at[slots].set(grp_mask),
+        "last_logits": state["last_logits"].at[slots].set(logits.astype(jnp.float32)),
+        "last_tok": state["last_tok"].at[slots].set(last_tok.astype(jnp.int32)),
+        "seqpos": state["seqpos"].at[slots].set(real_len),
+        "finished": state["finished"].at[slots].set(False),
+        "budget": state["budget"].at[slots].set(budgets),
+        "rng": state["rng"],
+    }
+
+
+def _spec_chunk_impl(model, draft_model, _frozen, cfg, dcfg, n_slots, max_len,
+                     gamma, windows, pad_id, params, dparams, state, eos_arr):
+    """Speculative decode chunk: ``windows`` draft+verify windows advancing
+    every slot (greedy acceptance — lossless vs plain greedy decode).
+
+    Per window (all rows in parallel, everything static-shape):
+    1. draft γ tokens autoregressively with the draft pool cache, writing
+       K/V at columns [col-1, col+γ-1) — the window region is pre-marked
+       valid; per-row causal q_start keeps within-window causality;
+    2. ONE target forward over [last committed, γ drafted] re-feeds the
+       last committed token at col-1 (identical K/V — columns are
+       contiguous with tokens, see admit) and verifies every draft in
+       parallel: t_logits[:, i] predicts the token after window[i];
+    3. greedy acceptance: n = longest matching prefix; the committed
+       correction/bonus is uniformly choice[:, n]; num_new = n+1, truncated
+       at EOS and the per-row budget; finished rows commit nothing;
+    4. the mask rewinds to exactly the committed columns — stale drafted
+       K/V beyond num_new stays invisible and the NEXT window overwrites it
+       (the single-sequence design of spec_decoding.py, per-row vectorized).
+
+    Emits (tokens (b, windows, γ+1) pad-filled past num_new, counts
+    (b, windows), finished) packed into one host transfer.
+    """
+    idx = jnp.arange(gamma + 1)[None, :]
+    cols = jnp.arange(max_len, dtype=jnp.int32)[None, :]
+
+    def window_step(carry, _):
+        cache, d_cache, mask_buf, last_tok, seqpos, finished, budget = carry
+        col = cache["pos"]  # (b,) one past the last committed column
+        colm1 = jnp.maximum(col - 1, 0)  # fresh/empty slots clamp to 0
+
+        # window region valid for the forwards; rewound after acceptance
+        win = (cols >= colm1[:, None]) & (cols < (colm1 + gamma + 1)[:, None])
+        mask_w = jnp.where(win, True, mask_buf)
+
+        def dstep(c, t):
+            d_cache, tok = c
+            d_cache = {**d_cache, "pos": colm1 + t}
+            logits, d_cache, _ = draft_model.apply(
+                dparams, dcfg, tok[:, None], attn_mask=mask_w, cache=d_cache,
+                position_ids=(seqpos - 1 + t)[:, None],
+            )
+            nxt = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
+            return (d_cache, nxt), nxt
+
+        (d_cache, _), drafted = lax.scan(dstep, (d_cache, last_tok), jnp.arange(gamma))
+        drafted = drafted.T  # (b, γ)
+        # feed the LAST draft too (output discarded): its K/V must be in the
+        # draft cache, else a full-accept window leaves a stale column the
+        # next window's draft attends — self-rejection every other window
+        # (the last COMMITTED token instead heals via the next window's
+        # re-feed before anything reads it)
+        d_cache = {**d_cache, "pos": colm1 + gamma}
+        _, d_cache, _ = draft_model.apply(
+            dparams, dcfg, drafted[:, -1:], attn_mask=mask_w, cache=d_cache,
+            position_ids=(seqpos - 1 + gamma)[:, None],
+        )
+
+        window = jnp.concatenate([last_tok[:, None], drafted], axis=1)  # (b, γ+1)
+        cache = {**cache, "pos": colm1}
+        pos_ids = (seqpos - 1)[:, None] + idx
+        t_logits, cache, _ = model.apply(
+            params, cfg, window, attn_mask=mask_w, cache=cache, position_ids=pos_ids,
+        )
+        choice = jnp.argmax(t_logits, axis=-1).astype(jnp.int32)  # (b, γ+1)
+
+        accept = choice[:, :gamma] == drafted  # (b, γ)
+        n = jnp.sum(jnp.cumprod(accept.astype(jnp.int32), axis=1), axis=1)  # (b,)
+        corr = jnp.take_along_axis(choice, n[:, None], axis=1)[:, 0]  # correction | bonus
+        drafted_pad = jnp.concatenate([drafted, jnp.zeros((drafted.shape[0], 1), jnp.int32)], axis=1)
+        cand = jnp.where(idx < n[:, None], drafted_pad,
+                         jnp.where(idx == n[:, None], corr[:, None], pad_id))
+
+        num_new = n + 1
+        is_eos = _is_eos(cand, eos_arr) & (idx < num_new[:, None])
+        any_eos = jnp.any(is_eos, axis=1)
+        eos_pos = jnp.argmax(is_eos, axis=1)
+        num_new = jnp.where(any_eos, eos_pos + 1, num_new)
+        num_new = jnp.minimum(num_new, budget)
+        num_new = jnp.where(finished, 0, num_new)
+
+        emit = jnp.where(idx < num_new[:, None], cand, pad_id)
+        budget = budget - num_new
+        finished = finished | (~jnp.equal(num_new, 0) & any_eos) | (budget <= 0)
+
+        new_col = col + num_new
+        # rewind the window region to exactly the committed columns
+        mask_buf = jnp.where(win, cols < new_col[:, None], mask_buf)
+        cache = {**cache, "pos": new_col}
+        last_tok = jnp.where(
+            num_new > 0, jnp.take_along_axis(cand, jnp.maximum(num_new - 1, 0)[:, None], axis=1)[:, 0],
+            last_tok,
+        )
+        seqpos = seqpos + num_new
+        carry = (cache, d_cache, mask_buf, last_tok, seqpos, finished, budget)
+        return carry, (emit, num_new)
+
+    init = (state["cache"], state["d_cache"], state["mask_buf"],
+            state["last_tok"], state["seqpos"], state["finished"], state["budget"])
+    (cache, d_cache, mask_buf, last_tok, seqpos, finished, budget), (toks, counts) = lax.scan(
+        window_step, init, None, length=windows
+    )
+    new_state = {
+        "cache": cache, "d_cache": d_cache, "mask_buf": mask_buf,
+        "last_logits": state["last_logits"], "last_tok": last_tok,
+        "seqpos": seqpos, "finished": finished, "budget": budget,
+        "rng": state["rng"],
+    }
+    # toks (W, b, γ+1) / counts (W, b) → one (b, W*(γ+1) + W + 1) transfer
+    packed = jnp.concatenate(
+        [
+            jnp.moveaxis(toks, 0, 1).reshape(toks.shape[1], -1),
+            counts.T.astype(jnp.int32),
+            finished[:, None].astype(jnp.int32),
+        ],
+        axis=1,
+    )
+    return new_state, packed
+
+
 class ContinuousBatchingEngine:
     """Iteration-level scheduler over a fixed slot pool. See module docstring.
 
@@ -388,7 +558,18 @@ class ContinuousBatchingEngine:
         prefill_buckets=DEFAULT_BUCKETS, top_k=None, top_p=None, min_p=None,
         temp=0.0, eos_ids=None, pad_id=0, cache_dtype=None, rng=None,
         pipeline_depth=2, mesh=None, param_rules=None,
+        draft_model=None, draft_params=None, draft_cfg=None, gamma=4,
     ):
+        self._spec = draft_model is not None
+        if self._spec:
+            # speculative serving: each scheduler "chunk" is decode_chunk
+            # DRAFT+VERIFY windows (γ drafts + 1 target forward each), so a
+            # chunk commits between decode_chunk and decode_chunk·(γ+1)
+            # tokens per live slot. Greedy only — acceptance is exact-match,
+            # which makes serving LOSSLESS vs plain greedy decode.
+            assert temp == 0.0, "speculative serving is greedy-only"
+            assert draft_params is not None and draft_cfg is not None
+            assert mesh is None, "speculative serving is single-chip for now"
         if mesh is not None:
             # Multi-chip serving: params shard per the TP rules, slots shard
             # over "data", cache heads over "model" (pool_state_shardings);
@@ -421,6 +602,8 @@ class ContinuousBatchingEngine:
         self.cache_dtype = cache_dtype
         self.rng = rng if rng is not None else jax.random.PRNGKey(0)
 
+        self.draft_model, self.draft_params, self.draft_cfg = draft_model, draft_params, draft_cfg
+        self.gamma = gamma
         cache = model.init_cache(cfg, n_slots, max_len, dtype=cache_dtype)
         cache["pos"] = jnp.zeros((n_slots,), jnp.int32)  # per-row column pointer
         self.state = {
@@ -435,6 +618,11 @@ class ContinuousBatchingEngine:
             "budget": jnp.zeros((n_slots,), jnp.int32),
             "rng": self.rng,  # resident: no per-chunk host split/upload
         }
+        if self._spec:
+            d_cache = draft_model.init_cache(draft_cfg, n_slots, max_len, dtype=cache_dtype)
+            d_cache["pos"] = jnp.zeros((n_slots,), jnp.int32)
+            self.state["d_cache"] = d_cache
+            self.state["last_tok"] = jnp.zeros((n_slots,), jnp.int32)
         self._state_shardings = None
         if mesh is not None:
             self._state_shardings = pool_state_shardings(self.state, mesh, n_slots)
@@ -445,28 +633,44 @@ class ContinuousBatchingEngine:
         # compiled admit/decode programs instead of re-tracing + re-loading
         # (measured 4.3 s first-step penalty per instance without this)
         cfg_key = (id(model), _freeze(cfg), n_slots, max_len, str(cache_dtype), mesh)
+        if self._spec:
+            cfg_key = cfg_key + ("spec", id(draft_model), _freeze(draft_cfg), gamma)
         admit_key = cfg_key + ("admit",)
         if admit_key not in _SERVE_JIT_CACHE:
-            _SERVE_JIT_CACHE[admit_key] = jax.jit(
-                partial(_admit_impl, model, _freeze(cfg), cfg, n_slots, max_len, cache_dtype),
-                donate_argnums=(1,),
-                out_shardings=self._state_shardings,
-            )
+            if self._spec:
+                _SERVE_JIT_CACHE[admit_key] = jax.jit(
+                    partial(_admit_spec_impl, model, draft_model, _freeze(cfg), cfg,
+                            draft_cfg, n_slots, max_len, cache_dtype),
+                    donate_argnums=(2,),
+                )
+            else:
+                _SERVE_JIT_CACHE[admit_key] = jax.jit(
+                    partial(_admit_impl, model, _freeze(cfg), cfg, n_slots, max_len, cache_dtype),
+                    donate_argnums=(1,),
+                    out_shardings=self._state_shardings,
+                )
         self._admit_jit = _SERVE_JIT_CACHE[admit_key]
         decode_key = cfg_key + (
             "decode", decode_chunk, _freeze(self.sample_kw), pad_id,
         )
         if decode_key not in _SERVE_JIT_CACHE:
-            _SERVE_JIT_CACHE[decode_key] = jax.jit(
-                partial(
-                    _decode_chunk_impl, model, _freeze(cfg), cfg, n_slots,
-                    max_len, decode_chunk, tuple(sorted(self.sample_kw.items())), pad_id,
-                ),
-                donate_argnums=(1,),
-                out_shardings=None if mesh is None else (
-                    self._state_shardings, NamedSharding(mesh, P())
-                ),
-            )
+            if self._spec:
+                _SERVE_JIT_CACHE[decode_key] = jax.jit(
+                    partial(_spec_chunk_impl, model, draft_model, _freeze(cfg), cfg,
+                            draft_cfg, n_slots, max_len, gamma, decode_chunk, pad_id),
+                    donate_argnums=(2,),
+                )
+            else:
+                _SERVE_JIT_CACHE[decode_key] = jax.jit(
+                    partial(
+                        _decode_chunk_impl, model, _freeze(cfg), cfg, n_slots,
+                        max_len, decode_chunk, tuple(sorted(self.sample_kw.items())), pad_id,
+                    ),
+                    donate_argnums=(1,),
+                    out_shardings=None if mesh is None else (
+                        self._state_shardings, NamedSharding(mesh, P())
+                    ),
+                )
         self._decode_jit = _SERVE_JIT_CACHE[decode_key]
 
         self._queue = deque()
@@ -533,6 +737,8 @@ class ContinuousBatchingEngine:
         resume exactly too: the suffix prefill seeds the depthwise conv
         from the stored taps (ops/gdn.py::causal_conv1d_seeded) and the
         recurrent state continues through ``prev_state``."""
+        if self._spec:
+            raise ValueError("prefix caching is not supported in speculative serving yet")
         ids = np.asarray(ids, np.int32).reshape(-1)
         if "image_token_id" in self.cfg and np.any(ids == self.cfg["image_token_id"]):
             raise ValueError(
@@ -561,6 +767,8 @@ class ContinuousBatchingEngine:
         image placeholders already expanded (the model's apply must accept
         ``image_pixels``, e.g. models/qwen3_5.py::apply); encoded once at
         admission, never re-encoded during decode."""
+        if self._spec and pixels is not None:
+            raise ValueError("multimodal requests are not supported in speculative serving yet")
         ids = np.asarray(ids, np.int32).reshape(-1)
         lb = self._bucket_len(len(ids))
         plen = self._prefixes[prefix][1] if prefix is not None else 0
@@ -599,10 +807,11 @@ class ContinuousBatchingEngine:
             pmask[j, : len(r.ids)] = True
             slot_idx[j] = slots[min(j, len(reqs) - 1)]
             budgets[j] = r.max_gen
-        self.state = self._admit_jit(
-            self.params, self.state, jnp.asarray(prompt), jnp.asarray(pmask),
+        args = (self.params,) + ((self.draft_params,) if self._spec else ()) + (
+            self.state, jnp.asarray(prompt), jnp.asarray(pmask),
             jnp.asarray(slot_idx), jnp.asarray(budgets),
         )
+        self.state = self._admit_jit(*args)
         self._mark_admitted(reqs, slots)
 
     def _admit_group_prefix(self, pid, reqs, slots):
@@ -712,14 +921,25 @@ class ContinuousBatchingEngine:
         finished (EOS or budget exhausted) — finished rows emit pad and
         stop growing their mask until an admit reuses the slot."""
         handle, smap = self._inflight.popleft()
-        packed = np.asarray(handle)  # ONE transfer: (n_slots, chunk + 1)
+        packed = np.asarray(handle)  # ONE transfer per chunk
         now = time.monotonic()
-        tokens, finished = packed[:, :-1], packed[:, -1].astype(bool)
+        if self._spec:
+            W, g1 = self.decode_chunk, self.gamma + 1
+            toks = packed[:, : W * g1].reshape(-1, W, g1)
+            counts = packed[:, W * g1 : W * g1 + W]
+            finished = packed[:, -1].astype(bool)
+        else:
+            toks, finished = packed[:, :-1], packed[:, -1].astype(bool)
         for slot, req in enumerate(smap):
             if req is None or req.done:
                 continue
-            take = min(self.decode_chunk, req.max_gen - len(req.tokens))
-            req.tokens.extend(int(t) for t in tokens[slot, :take])
+            if self._spec:
+                for w in range(self.decode_chunk):
+                    take = min(int(counts[slot, w]), req.max_gen - len(req.tokens))
+                    req.tokens.extend(int(t) for t in toks[slot, w, :take])
+            else:
+                take = min(self.decode_chunk, req.max_gen - len(req.tokens))
+                req.tokens.extend(int(t) for t in toks[slot, :take])
             if req.tokens and req.t_first == 0.0:
                 # drain-time stamp: includes pipeline lag (depth-1 = true TTFT)
                 req.t_first = now
@@ -754,7 +974,9 @@ class ContinuousBatchingEngine:
                     self._admit_group_prefix(gkey, reqs, slots_for)
         live = sum(r is not None for r in self._slot_req)
         if live:
-            self.state, packed = self._decode_jit(self.params, self.state, self.eos_arr)
+            dargs = (self.params,) + ((self.draft_params,) if self._spec else ()) + (
+                self.state, self.eos_arr)
+            self.state, packed = self._decode_jit(*dargs)
             self._inflight.append((packed, tuple(self._slot_req)))
             self._n_chunks += 1
             self._busy_slot_steps += live

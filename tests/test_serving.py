@@ -551,3 +551,54 @@ def test_serving_hybrid_on_mesh():
             max_gen=5, temp=0.0, eos_ids=-1, pad_id=0,
         )["sequences"][0, len(p):].tolist()
         assert got == ref, (p, got, ref)
+
+
+def test_serving_speculative_lossless(params):
+    """Speculative continuous batching (greedy): per-request tokens are
+    IDENTICAL to the plain engine — speculation is lossless — through slot
+    reuse, mixed lengths, EOS retirement, and a draft that knows nothing."""
+    draft_cfg = dict(CFG, n_layers=1, emb_dim=16, hidden_dim=32, head_dim=4)
+    draft_params = qwen3.init(jax.random.PRNGKey(7), draft_cfg)
+    rng = np.random.default_rng(16)
+    prompts = [rng.integers(1, 128, size=n).tolist() for n in (3, 7, 5, 12, 4)]
+    max_gens = [6, 10, 4, 8, 5]
+
+    engine = ContinuousBatchingEngine(
+        qwen3, params, CFG, n_slots=2, max_len=40, decode_chunk=2,
+        prefill_buckets=(8, 16), temp=0.0, eos_ids=-1, pad_id=0,
+        draft_model=qwen3, draft_params=draft_params, draft_cfg=draft_cfg, gamma=3,
+    )
+    outs = engine.serve(list(zip(prompts, max_gens)))
+    for ids, mg, got in zip(prompts, max_gens, outs):
+        ref = _reference_tokens(params, ids, mg)
+        assert got == ref[: len(got)] and len(got) == mg, (ids, got, ref)
+
+    # EOS mid-stream retires exactly like the plain engine
+    ids = prompts[0]
+    free = _reference_tokens(params, ids, 8)
+    eos = free[3]
+    eng2 = ContinuousBatchingEngine(
+        qwen3, params, CFG, n_slots=2, max_len=40, decode_chunk=2,
+        prefill_buckets=(8,), temp=0.0, eos_ids=eos, pad_id=0,
+        draft_model=qwen3, draft_params=draft_params, draft_cfg=draft_cfg, gamma=3,
+    )
+    outs2 = eng2.serve([(ids, 8), (ids, 8)])
+    ref = _reference_tokens(params, ids, 8, eos_ids=eos)
+    ref = ref[: ref.index(eos) + 1]
+    assert outs2 == [ref, ref], (outs2, ref)
+
+
+def test_serving_speculative_self_draft_accepts_everything(params):
+    """Draft == target: every window accepts all γ drafts + bonus, so each
+    request finishes in ~max_gen/(γ+1) windows; tokens still exact."""
+    rng = np.random.default_rng(17)
+    ids = rng.integers(1, 128, size=5).tolist()
+    engine = ContinuousBatchingEngine(
+        qwen3, params, CFG, n_slots=1, max_len=48, decode_chunk=1,
+        prefill_buckets=(8,), temp=0.0, eos_ids=-1, pad_id=0, pipeline_depth=1,
+        draft_model=qwen3, draft_params=params, draft_cfg=CFG, gamma=3,
+    )
+    outs = engine.serve([(ids, 12)])
+    assert outs[0] == _reference_tokens(params, ids, 12)
+    # 12 tokens at γ+1=4 per window = 3 windows (decode_chunk=1 ⇒ 3 chunks)
+    assert engine.stats()["decode_chunks"] == 3, engine.stats()
