@@ -378,6 +378,53 @@ def _decode_chunk_impl(model, _frozen, cfg, n_slots, max_len, decode_chunk,
     return new_state, packed  # (n_slots, chunk + 1)
 
 
+def _admit_chunked_impl(model, _frozen, cfg, n_slots, max_len, cache_dtype,
+                        n_chunks, chunk, params, state, prompts, pmasks,
+                        slots, budgets):
+    """Chunked-prefill admission for prompts LONGER than the largest bucket:
+    the group cache fills through ``n_chunks`` sequential fixed-size prefill
+    calls (static offsets — one compiled program per chunk COUNT, shared by
+    every long request). The full (k, max_len) validity mask is passed to
+    every chunk: later columns hold unwritten K/V but per-row causal
+    q_start = c·chunk already hides the future, so no per-chunk mask is
+    needed. Each row's last-token logits are captured from whichever chunk
+    contains its last REAL token (right-padded waves end in different
+    chunks). Hybrids resume exactly across chunks: the GDN conv taps seed
+    from the carried state (ops/gdn.py::causal_conv1d_seeded) and the
+    recurrent state threads through the cache."""
+    k, lb = prompts.shape
+    assert lb == n_chunks * chunk, (lb, n_chunks, chunk)
+    grp_cache = model.init_cache(cfg, k, max_len, dtype=cache_dtype)
+    grp_mask = jnp.zeros((k, max_len), bool).at[:, :lb].set(pmasks)
+    real_len = jnp.sum(pmasks, axis=1).astype(jnp.int32)
+    rows = jnp.arange(k)
+    last = jnp.zeros((k, cfg["vocab_size"]), jnp.float32)
+    for c in range(n_chunks):
+        ids_c = prompts[:, c * chunk : (c + 1) * chunk]
+        logits_c, grp_cache, _ = model.apply(
+            params, cfg, ids_c, attn_mask=grp_mask, cache=grp_cache
+        )
+        loc = real_len - 1 - c * chunk
+        in_chunk = (loc >= 0) & (loc < chunk)
+        picked = logits_c[rows, jnp.clip(loc, 0, chunk - 1)].astype(jnp.float32)
+        last = jnp.where(in_chunk[:, None], picked, last)
+    grp_cache = {**grp_cache, "pos": real_len}
+
+    cache = jax.tree.map(
+        lambda big, small: _insert_rows(big, small, slots, n_slots, k),
+        state["cache"], grp_cache,
+    )
+    return {
+        "cache": cache,
+        "mask_buf": state["mask_buf"].at[slots].set(grp_mask),
+        "last_logits": state["last_logits"].at[slots].set(last),
+        "seqpos": state["seqpos"].at[slots].set(real_len),
+        "finished": state["finished"].at[slots].set(False),
+        "budget": state["budget"].at[slots].set(budgets),
+        "rng": state["rng"],
+    }
+
+
 def _admit_spec_impl(model, draft_model, _frozen, cfg, dcfg, n_slots, max_len,
                      cache_dtype, params, dparams, state, prompts, pmasks,
                      slots, budgets):
@@ -559,6 +606,7 @@ class ContinuousBatchingEngine:
         temp=0.0, eos_ids=None, pad_id=0, cache_dtype=None, rng=None,
         pipeline_depth=2, mesh=None, param_rules=None,
         draft_model=None, draft_params=None, draft_cfg=None, gamma=4,
+        prefill_chunk=None,
     ):
         self._spec = draft_model is not None
         if self._spec:
@@ -584,9 +632,12 @@ class ContinuousBatchingEngine:
             tp = mesh.shape["model"]
             kvh = cfg.get("num_kv_groups", cfg.get("n_heads"))
             if tp > 1 and kvh and kvh % tp == 0:
-                cfg = dict(cfg, head_shard={"mesh": mesh, "axis": "model"})
+                # use_gdn_kernel off: the GDN Pallas kernel has no
+                # head-sharded route yet — the chunked XLA form partitions
+                cfg = dict(cfg, head_shard={"mesh": mesh, "axis": "model"}, use_gdn_kernel=False)
             else:
-                cfg = dict(cfg, use_flash=False, use_flash_decode=False, use_fused_mha=False)
+                cfg = dict(cfg, use_flash=False, use_flash_decode=False,
+                           use_fused_mha=False, use_gdn_kernel=False)
             if param_rules is not None:
                 from llm_quest_tpu.parallel.sharding import shard_params
 
@@ -604,6 +655,9 @@ class ContinuousBatchingEngine:
 
         self.draft_model, self.draft_params, self.draft_cfg = draft_model, draft_params, draft_cfg
         self.gamma = gamma
+        # prompts longer than the largest bucket admit through sequential
+        # fixed-size prefill chunks (one program per chunk count)
+        self.prefill_chunk = prefill_chunk
         cache = model.init_cache(cfg, n_slots, max_len, dtype=cache_dtype)
         cache["pos"] = jnp.zeros((n_slots,), jnp.int32)  # per-row column pointer
         self.state = {
@@ -724,6 +778,8 @@ class ContinuousBatchingEngine:
         for b in self.buckets:
             if prompt_len <= b:
                 return b
+        if self.prefill_chunk:  # chunked-prefill admission (len → chunk multiple)
+            return -(-prompt_len // self.prefill_chunk) * self.prefill_chunk
         raise ValueError(f"prompt_len {prompt_len} exceeds largest bucket {self.buckets[-1]}")
 
     def register_prefix(self, ids):
@@ -812,6 +868,42 @@ class ContinuousBatchingEngine:
             jnp.asarray(slot_idx), jnp.asarray(budgets),
         )
         self.state = self._admit_jit(*args)
+        self._mark_admitted(reqs, slots)
+
+    def _admit_group_chunked(self, reqs, slots):
+        """_admit_group for prompts longer than the largest bucket: the wave
+        pads to a prefill_chunk multiple and prefills through n_chunks
+        sequential calls inside ONE program (static offsets — a program per
+        chunk count, shared across requests)."""
+        if self._spec:
+            raise ValueError("chunked-prefill admission is not supported in speculative serving yet")
+        ck = self.prefill_chunk
+        lb = max(self._bucket_len(len(r.ids)) for r in reqs)
+        n_chunks = lb // ck
+        k = 1 << (len(reqs) - 1).bit_length()
+        prompt = np.full((k, lb), self.pad_id, np.int32)
+        pmask = np.zeros((k, lb), bool)
+        slot_idx = np.empty((k,), np.int32)
+        budgets = np.empty((k,), np.int32)
+        for j in range(k):
+            r = reqs[min(j, len(reqs) - 1)]
+            prompt[j, : len(r.ids)] = r.ids
+            pmask[j, : len(r.ids)] = True
+            slot_idx[j] = slots[min(j, len(reqs) - 1)]
+            budgets[j] = r.max_gen
+        key = (id(self.model), _freeze(self.cfg), self.n_slots, self.max_len,
+               str(self.cache_dtype), self.mesh, "admit_chunked", n_chunks, ck)
+        if key not in _SERVE_JIT_CACHE:
+            _SERVE_JIT_CACHE[key] = jax.jit(
+                partial(_admit_chunked_impl, self.model, _freeze(self.cfg), self.cfg,
+                        self.n_slots, self.max_len, self.cache_dtype, n_chunks, ck),
+                donate_argnums=(1,),
+                out_shardings=self._state_shardings,
+            )
+        self.state = _SERVE_JIT_CACHE[key](
+            self.params, self.state, jnp.asarray(prompt), jnp.asarray(pmask),
+            jnp.asarray(slot_idx), jnp.asarray(budgets),
+        )
         self._mark_admitted(reqs, slots)
 
     def _admit_group_prefix(self, pid, reqs, slots):
@@ -962,12 +1054,19 @@ class ContinuousBatchingEngine:
             # or multimodal grouped by image shape; dict keeps FIFO order
             groups = {}
             for r in take:
-                gkey = ("vlm", r.pixels.shape, r.prefix) if r.pixels is not None else r.prefix
+                if r.pixels is not None:
+                    gkey = ("vlm", r.pixels.shape, r.prefix)
+                elif r.prefix is None and len(r.ids) > self.buckets[-1]:
+                    gkey = ("chunked", self._bucket_len(len(r.ids)) // self.prefill_chunk)
+                else:
+                    gkey = r.prefix
                 groups.setdefault(gkey, []).append(r)
             for gkey, reqs in groups.items():
                 slots_for, free = free[: len(reqs)], free[len(reqs):]
-                if isinstance(gkey, tuple):
+                if isinstance(gkey, tuple) and gkey[0] == "vlm":
                     self._admit_group_vlm(reqs, slots_for)
+                elif isinstance(gkey, tuple):
+                    self._admit_group_chunked(reqs, slots_for)
                 elif gkey is None:
                     self._admit_group(reqs, slots_for)
                 else:

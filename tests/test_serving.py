@@ -602,3 +602,41 @@ def test_serving_speculative_self_draft_accepts_everything(params):
     assert outs[0] == _reference_tokens(params, ids, 12)
     # 12 tokens at γ+1=4 per window = 3 windows (decode_chunk=1 ⇒ 3 chunks)
     assert engine.stats()["decode_chunks"] == 3, engine.stats()
+
+
+def test_serving_chunked_prefill_admission(params):
+    """Prompts LONGER than the largest bucket admit through sequential
+    fixed-size prefill chunks — tokens identical to the batched engine;
+    short requests share the pool; per-row lengths may end in different
+    chunks; the hybrid resumes GDN state across chunks."""
+    rng = np.random.default_rng(18)
+    long_a = rng.integers(1, 128, size=20).tolist()  # 3 chunks of 8
+    long_b = rng.integers(1, 128, size=17).tolist()  # ends in chunk 3 col 0
+    short = rng.integers(1, 128, size=5).tolist()
+
+    engine = ContinuousBatchingEngine(
+        qwen3, params, CFG, n_slots=2, max_len=40, decode_chunk=3,
+        prefill_buckets=(8,), temp=0.0, eos_ids=-1, pad_id=0, prefill_chunk=8,
+    )
+    outs = engine.serve([(long_a, 6), (long_b, 6), (short, 6)])
+    for ids, got in zip((long_a, long_b, short), outs):
+        assert got == _reference_tokens(params, ids, 6), (len(ids), got)
+
+    # hybrid: GDN conv/recurrent state must thread across prefill chunks
+    from llm_quest_tpu.models import qwen3_5
+
+    class TextModel:
+        apply = staticmethod(qwen3_5.apply_text)
+        init_cache = staticmethod(qwen3_5.init_cache)
+
+    hp = qwen3_5.init_text(jax.random.PRNGKey(0), HYBRID_CFG)
+    hyb_engine = ContinuousBatchingEngine(
+        TextModel, hp, HYBRID_CFG, n_slots=1, max_len=40, decode_chunk=3,
+        prefill_buckets=(8,), temp=0.0, eos_ids=-1, pad_id=0, prefill_chunk=8,
+    )
+    got = hyb_engine.serve([(long_a, 6)])[0]
+    ref = gen.generate_kv_cache(
+        TextModel, hp, HYBRID_CFG, jnp.asarray([long_a], jnp.int32),
+        max_gen=6, temp=0.0, eos_ids=-1, pad_id=0,
+    )["sequences"][0, len(long_a):].tolist()
+    assert got == ref, (got, ref)
