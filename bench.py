@@ -133,6 +133,44 @@ def bench_text_decode(batch=1, prompt_len=32, max_gen=64, int8=False):
     return batch * max_gen / dt
 
 
+def bench_serving(n_reqs=48, n_slots=32, decode_chunk=32):
+    """Continuous-batching engine on the text model: useful generated-token
+    throughput for a heterogeneous workload (prompt 32, gens U[16, 64]) —
+    the round-3 measured configuration (COVERAGE: 32 slots / 32-chunk)."""
+    import numpy as np_
+
+    from llm_quest_tpu import config
+    from llm_quest_tpu.inference.serving import ContinuousBatchingEngine
+    from llm_quest_tpu.models import qwen3_5
+
+    cfg = dict(config.QWEN3_5_08B_CONFIG, dtype=jnp.bfloat16)
+    params = qwen3_5.init_text(jax.random.PRNGKey(0), cfg)
+
+    class TextModel:
+        apply = staticmethod(qwen3_5.apply_text)
+        init_cache = staticmethod(qwen3_5.init_cache)
+
+    rng = np_.random.default_rng(0)
+    reqs = [
+        (rng.integers(1, 1000, size=32).tolist(), int(rng.integers(16, 65)))
+        for _ in range(n_reqs)
+    ]
+
+    def make_engine():
+        return ContinuousBatchingEngine(
+            TextModel, params, cfg, n_slots=n_slots, max_len=128,
+            decode_chunk=decode_chunk, prefill_buckets=(32,), temp=0.0,
+            eos_ids=-1, pad_id=0,
+        )
+
+    make_engine().serve(reqs[:2])  # compile admit/decode
+    eng = make_engine()
+    t0 = time.perf_counter()
+    outs = eng.serve(reqs)
+    dt = time.perf_counter() - t0
+    return sum(len(o) for o in outs) / dt
+
+
 def bench_vit_encode(batch=128, iters=20):
     from jax import lax
 
@@ -170,6 +208,10 @@ if __name__ == "__main__":
     text_tok_s = _retry(bench_text_decode)
     # weight-only int8 serving path (ops/quantization.py) — same engine
     int8_tok_s = _retry(lambda: bench_text_decode(int8=True))
+    try:  # continuous-batching serving throughput (never blocks the headline)
+        serving_tok_s = round(_retry(bench_serving), 1)
+    except Exception:
+        serving_tok_s = None
     print(
         json.dumps(
             {
@@ -181,6 +223,7 @@ if __name__ == "__main__":
                     "text_decode_tok_s_chip": round(text_tok_s, 1),
                     "text_decode_vs_baseline": round(text_tok_s / TEXT_BASELINE, 2),
                     "text_decode_int8_tok_s_chip": round(int8_tok_s, 1),
+                    "serving_useful_tok_s_chip": serving_tok_s,
                     "vit_b_224_encode_img_s_chip": round(vit_img_s, 1),
                     "vit_encode_vs_north_star_4000": round(vit_img_s / 4000.0, 2),
                     "ttft_p50_ms": round(ttft_p50_ms, 1),
