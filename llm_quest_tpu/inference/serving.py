@@ -464,7 +464,7 @@ def _admit_spec_impl(model, draft_model, _frozen, cfg, dcfg, n_slots, max_len,
 
 
 def _spec_chunk_impl(model, draft_model, _frozen, cfg, dcfg, n_slots, max_len,
-                     gamma, windows, pad_id, params, dparams, state, eos_arr):
+                     gamma, windows, pad_id, sample_kw, params, dparams, state, eos_arr):
     """Speculative decode chunk: ``windows`` draft+verify windows advancing
     every slot (greedy acceptance — lossless vs plain greedy decode).
 
@@ -483,14 +483,27 @@ def _spec_chunk_impl(model, draft_model, _frozen, cfg, dcfg, n_slots, max_len,
        K/V beyond num_new stays invisible and the NEXT window overwrites it
        (the single-sequence design of spec_decoding.py, per-row vectorized).
 
+    With temp > 0 the window is STOCHASTIC (reference
+    spec_decoding_engine.py semantics, per-row vectorized): drafts sample
+    from the modified draft distribution, acceptance is u < p/q on the
+    modified distributions, rejection resamples from norm(max(0, p-q)),
+    and a full accept samples the bonus from the target's γ+1-th
+    distribution. temp == 0 is the exact greedy path (lossless).
+
     Emits (tokens (b, windows, γ+1) pad-filled past num_new, counts
     (b, windows), finished) packed into one host transfer.
     """
+    from llm_quest_tpu.inference.spec_decoding import modified_probs
+
+    kw = dict(sample_kw)
+    temp = kw.get("temp") or 0.0
+    mprobs = partial(modified_probs, top_k=kw.get("top_k"), top_p=kw.get("top_p"), temp=temp)
     idx = jnp.arange(gamma + 1)[None, :]
     cols = jnp.arange(max_len, dtype=jnp.int32)[None, :]
 
     def window_step(carry, _):
-        cache, d_cache, mask_buf, last_tok, seqpos, finished, budget = carry
+        cache, d_cache, mask_buf, last_tok, seqpos, finished, budget, rng = carry
+        rng, r_draft, r_accept, r_corr = jax.random.split(rng, 4)
         col = cache["pos"]  # (b,) one past the last committed column
         colm1 = jnp.maximum(col - 1, 0)  # fresh/empty slots clamp to 0
 
@@ -505,10 +518,17 @@ def _spec_chunk_impl(model, draft_model, _frozen, cfg, dcfg, n_slots, max_len,
                 dparams, dcfg, tok[:, None], attn_mask=mask_w, cache=d_cache,
                 position_ids=(seqpos - 1 + t)[:, None],
             )
-            nxt = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
-            return (d_cache, nxt), nxt
+            if temp == 0.0:
+                nxt = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
+                probs = jnp.zeros((logits.shape[0], 0), jnp.float32)  # unused
+            else:
+                probs = mprobs(logits[:, 0])
+                nxt = jax.random.categorical(
+                    jax.random.fold_in(r_draft, t), jnp.log(jnp.maximum(probs, 1e-20))
+                ).astype(jnp.int32)
+            return (d_cache, nxt), (nxt, probs)
 
-        (d_cache, _), drafted = lax.scan(dstep, (d_cache, last_tok), jnp.arange(gamma))
+        (d_cache, _), (drafted, dprobs) = lax.scan(dstep, (d_cache, last_tok), jnp.arange(gamma))
         drafted = drafted.T  # (b, γ)
         # feed the LAST draft too (output discarded): its K/V must be in the
         # draft cache, else a full-accept window leaves a stale column the
@@ -527,11 +547,28 @@ def _spec_chunk_impl(model, draft_model, _frozen, cfg, dcfg, n_slots, max_len,
         t_logits, cache, _ = model.apply(
             params, cfg, window, attn_mask=mask_w, cache=cache, position_ids=pos_ids,
         )
-        choice = jnp.argmax(t_logits, axis=-1).astype(jnp.int32)  # (b, γ+1)
-
-        accept = choice[:, :gamma] == drafted  # (b, γ)
-        n = jnp.sum(jnp.cumprod(accept.astype(jnp.int32), axis=1), axis=1)  # (b,)
-        corr = jnp.take_along_axis(choice, n[:, None], axis=1)[:, 0]  # correction | bonus
+        if temp == 0.0:
+            choice = jnp.argmax(t_logits, axis=-1).astype(jnp.int32)  # (b, γ+1)
+            accept = choice[:, :gamma] == drafted  # (b, γ)
+            n = jnp.sum(jnp.cumprod(accept.astype(jnp.int32), axis=1), axis=1)  # (b,)
+            corr = jnp.take_along_axis(choice, n[:, None], axis=1)[:, 0]  # correction | bonus
+        else:
+            tprobs = mprobs(t_logits)  # (b, γ+1, v)
+            dp = jnp.moveaxis(dprobs, 0, 1)  # (b, γ, v)
+            p_tok = jnp.take_along_axis(tprobs[:, :gamma], drafted[:, :, None], axis=2)[..., 0]
+            q_tok = jnp.take_along_axis(dp, drafted[:, :, None], axis=2)[..., 0]
+            ratio = p_tok / jnp.maximum(q_tok, 1e-20)  # (b, γ)
+            accept = jax.random.uniform(r_accept, ratio.shape) < ratio
+            n = jnp.sum(jnp.cumprod(accept.astype(jnp.int32), axis=1), axis=1)  # (b,)
+            adjusted = jnp.maximum(tprobs[:, :gamma] - dp, 0.0)
+            adjusted = adjusted / jnp.maximum(jnp.sum(adjusted, axis=-1, keepdims=True), 1e-20)
+            # per-position resamples + bonus, picked at row position n
+            all_corr = jax.random.categorical(
+                r_corr, jnp.log(jnp.maximum(
+                    jnp.concatenate([adjusted, tprobs[:, gamma:]], axis=1), 1e-20)),
+                axis=-1,
+            ).astype(jnp.int32)  # (b, γ+1): resample at i<γ, bonus at γ
+            corr = jnp.take_along_axis(all_corr, n[:, None], axis=1)[:, 0]
         drafted_pad = jnp.concatenate([drafted, jnp.zeros((drafted.shape[0], 1), jnp.int32)], axis=1)
         cand = jnp.where(idx < n[:, None], drafted_pad,
                          jnp.where(idx == n[:, None], corr[:, None], pad_id))
@@ -557,19 +594,20 @@ def _spec_chunk_impl(model, draft_model, _frozen, cfg, dcfg, n_slots, max_len,
             last_tok,
         )
         seqpos = seqpos + num_new
-        carry = (cache, d_cache, mask_buf, last_tok, seqpos, finished, budget)
+        carry = (cache, d_cache, mask_buf, last_tok, seqpos, finished, budget, rng)
         return carry, (emit, num_new)
 
     init = (state["cache"], state["d_cache"], state["mask_buf"],
-            state["last_tok"], state["seqpos"], state["finished"], state["budget"])
-    (cache, d_cache, mask_buf, last_tok, seqpos, finished, budget), (toks, counts) = lax.scan(
+            state["last_tok"], state["seqpos"], state["finished"], state["budget"],
+            state["rng"])
+    (cache, d_cache, mask_buf, last_tok, seqpos, finished, budget, rng), (toks, counts) = lax.scan(
         window_step, init, None, length=windows
     )
     new_state = {
         "cache": cache, "d_cache": d_cache, "mask_buf": mask_buf,
         "last_logits": state["last_logits"], "last_tok": last_tok,
         "seqpos": seqpos, "finished": finished, "budget": budget,
-        "rng": state["rng"],
+        "rng": rng,
     }
     # toks (W, b, γ+1) / counts (W, b) → one (b, W*(γ+1) + W + 1) transfer
     packed = jnp.concatenate(
@@ -613,9 +651,9 @@ class ContinuousBatchingEngine:
             # speculative serving: each scheduler "chunk" is decode_chunk
             # DRAFT+VERIFY windows (γ drafts + 1 target forward each), so a
             # chunk commits between decode_chunk and decode_chunk·(γ+1)
-            # tokens per live slot. Greedy only — acceptance is exact-match,
-            # which makes serving LOSSLESS vs plain greedy decode.
-            assert temp == 0.0, "speculative serving is greedy-only"
+            # tokens per live slot. Greedy (temp=0) acceptance is exact-match
+            # — LOSSLESS vs plain greedy decode; temp>0 runs the reference's
+            # stochastic u<p/q acceptance with rejection resampling.
             assert draft_params is not None and draft_cfg is not None
             assert mesh is None, "speculative serving is single-chip for now"
         if mesh is not None:
@@ -711,7 +749,8 @@ class ContinuousBatchingEngine:
             if self._spec:
                 _SERVE_JIT_CACHE[decode_key] = jax.jit(
                     partial(_spec_chunk_impl, model, draft_model, _freeze(cfg), cfg,
-                            draft_cfg, n_slots, max_len, gamma, decode_chunk, pad_id),
+                            draft_cfg, n_slots, max_len, gamma, decode_chunk, pad_id,
+                            tuple(sorted(self.sample_kw.items()))),
                     donate_argnums=(2,),
                 )
             else:

@@ -640,3 +640,31 @@ def test_serving_chunked_prefill_admission(params):
         max_gen=6, temp=0.0, eos_ids=-1, pad_id=0,
     )["sequences"][0, len(long_a):].tolist()
     assert got == ref, (got, ref)
+
+
+def test_serving_speculative_stochastic(params):
+    """temp>0 speculative serving: with draft == target the acceptance
+    ratio p/q is exactly 1, so every window fully accepts (reference
+    u < p/q semantics) — γ+1 committed per window; a weak draft still
+    yields valid in-vocab tokens and full budgets."""
+    rng = np.random.default_rng(19)
+    ids = rng.integers(1, 128, size=5).tolist()
+    engine = ContinuousBatchingEngine(
+        qwen3, params, CFG, n_slots=1, max_len=48, decode_chunk=1,
+        prefill_buckets=(8,), temp=0.8, eos_ids=-1, pad_id=0, pipeline_depth=1,
+        draft_model=qwen3, draft_params=params, draft_cfg=CFG, gamma=3,
+    )
+    outs = engine.serve([(ids, 12)])
+    assert len(outs[0]) == 12 and all(0 <= t < 128 for t in outs[0])
+    assert engine.stats()["decode_chunks"] == 3, engine.stats()
+
+    weak_cfg = dict(CFG, n_layers=1, emb_dim=16, hidden_dim=32, head_dim=4)
+    weak = qwen3.init(jax.random.PRNGKey(21), weak_cfg)
+    eng2 = ContinuousBatchingEngine(
+        qwen3, params, CFG, n_slots=2, max_len=48, decode_chunk=2,
+        prefill_buckets=(8,), temp=0.8, top_k=20, eos_ids=-1, pad_id=0,
+        draft_model=qwen3, draft_params=weak, draft_cfg=weak_cfg, gamma=3,
+    )
+    outs2 = eng2.serve([(ids, 9), (rng.integers(1, 128, size=7).tolist(), 6)])
+    assert [len(o) for o in outs2] == [9, 6]
+    assert all(0 <= t < 128 for o in outs2 for t in o)
