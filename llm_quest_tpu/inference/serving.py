@@ -425,6 +425,53 @@ def _admit_chunked_impl(model, _frozen, cfg, n_slots, max_len, cache_dtype,
     }
 
 
+def _admit_spec_prefix_impl(model, draft_model, _frozen, cfg, dcfg, n_slots,
+                            max_len, cache_dtype, plen, params, dparams, state,
+                            pcache, d_pcache, prompts, pmasks, slots, budgets):
+    """Speculative admission on top of a registered prefix: BOTH pool caches
+    (target and draft) seed from their broadcast prefix rows, the suffix
+    prefills each at q_start=plen, and the verify windows start from the
+    suffix's last token."""
+    k, lb = prompts.shape
+
+    def bcast(x):
+        if getattr(x, "ndim", 0) >= 3 and x.shape[1] == 1:
+            return jnp.broadcast_to(x, x.shape[:1] + (k,) + x.shape[2:])
+        return x
+
+    grp_mask = (
+        jnp.zeros((k, max_len), bool)
+        .at[:, :plen].set(True)
+        .at[:, plen : plen + lb].set(pmasks)
+    )
+    real_len = jnp.sum(pmasks, axis=1).astype(jnp.int32)
+
+    grp_cache = jax.tree.map(bcast, pcache)
+    logits_all, grp_cache, _ = model.apply(
+        params, cfg, prompts, attn_mask=grp_mask, cache=grp_cache
+    )
+    logits = logits_all[jnp.arange(k), real_len - 1]
+    grp_cache = {**grp_cache, "pos": plen + real_len}
+
+    grp_d = jax.tree.map(bcast, d_pcache)
+    _, grp_d, _ = draft_model.apply(dparams, dcfg, prompts, attn_mask=grp_mask, cache=grp_d)
+    grp_d = {**grp_d, "pos": plen + real_len}
+
+    last_tok = prompts[jnp.arange(k), real_len - 1]
+    insert = lambda big, small: _insert_rows(big, small, slots, n_slots, k)  # noqa: E731
+    return {
+        "cache": jax.tree.map(insert, state["cache"], grp_cache),
+        "d_cache": jax.tree.map(insert, state["d_cache"], grp_d),
+        "mask_buf": state["mask_buf"].at[slots].set(grp_mask),
+        "last_logits": state["last_logits"].at[slots].set(logits.astype(jnp.float32)),
+        "last_tok": state["last_tok"].at[slots].set(last_tok.astype(jnp.int32)),
+        "seqpos": state["seqpos"].at[slots].set(plen + real_len),
+        "finished": state["finished"].at[slots].set(False),
+        "budget": state["budget"].at[slots].set(budgets),
+        "rng": state["rng"],
+    }
+
+
 def _admit_spec_impl(model, draft_model, _frozen, cfg, dcfg, n_slots, max_len,
                      cache_dtype, params, dparams, state, prompts, pmasks,
                      slots, budgets):
@@ -832,8 +879,6 @@ class ContinuousBatchingEngine:
         resume exactly too: the suffix prefill seeds the depthwise conv
         from the stored taps (ops/gdn.py::causal_conv1d_seeded) and the
         recurrent state continues through ``prev_state``."""
-        if self._spec:
-            raise ValueError("prefix caching is not supported in speculative serving yet")
         ids = np.asarray(ids, np.int32).reshape(-1)
         if "image_token_id" in self.cfg and np.any(ids == self.cfg["image_token_id"]):
             raise ValueError(
@@ -851,8 +896,21 @@ class ContinuousBatchingEngine:
                         self.max_len, self.cache_dtype, plen)
             )
         pcache = _SERVE_JIT_CACHE[key](self.params, jnp.asarray(ids[None]))
+        extra = ()
+        if self._spec:
+            # speculative engines prefill the DRAFT's prefix row too, and
+            # remember the prefix's last token (the first verify window of a
+            # zero-suffix... suffixes are >=1 token, so it only seeds waves)
+            dkey = (id(self.draft_model), _freeze(self.draft_cfg), self.max_len,
+                    str(self.cache_dtype), self.mesh, "prefix", plen)
+            if dkey not in _SERVE_JIT_CACHE:
+                _SERVE_JIT_CACHE[dkey] = jax.jit(
+                    partial(_prefix_impl, self.draft_model, _freeze(self.draft_cfg),
+                            self.draft_cfg, self.max_len, self.cache_dtype, plen)
+                )
+            extra = (_SERVE_JIT_CACHE[dkey](self.draft_params, jnp.asarray(ids[None])),)
         pid = len(self._prefixes)
-        self._prefixes[pid] = (pcache, plen)
+        self._prefixes[pid] = (pcache, plen) + extra
         return pid
 
     def submit(self, ids, max_gen, prefix=None, pixels=None):
@@ -949,7 +1007,7 @@ class ContinuousBatchingEngine:
         """_admit_group for requests sharing registered prefix ``pid``:
         same pow2 wave padding, but the group cache starts as the broadcast
         prefix row and only the suffixes prefill (q_start = prefix len)."""
-        pcache, plen = self._prefixes[pid]
+        pcache, plen = self._prefixes[pid][:2]
         lb = max(self._bucket_len(len(r.ids)) for r in reqs)
         k = 1 << (len(reqs) - 1).bit_length()
         prompt = np.full((k, lb), self.pad_id, np.int32)
@@ -962,6 +1020,25 @@ class ContinuousBatchingEngine:
             pmask[j, : len(r.ids)] = True
             slot_idx[j] = slots[min(j, len(reqs) - 1)]
             budgets[j] = r.max_gen
+        if self._spec:
+            d_pcache = self._prefixes[pid][2]
+            key = (id(self.model), id(self.draft_model), _freeze(self.cfg),
+                   _freeze(self.draft_cfg), self.n_slots, self.max_len,
+                   str(self.cache_dtype), "admit_spec_prefix", plen)
+            if key not in _SERVE_JIT_CACHE:
+                _SERVE_JIT_CACHE[key] = jax.jit(
+                    partial(_admit_spec_prefix_impl, self.model, self.draft_model,
+                            _freeze(self.cfg), self.cfg, self.draft_cfg,
+                            self.n_slots, self.max_len, self.cache_dtype, plen),
+                    donate_argnums=(2,),
+                )
+            self.state = _SERVE_JIT_CACHE[key](
+                self.params, self.draft_params, self.state, pcache, d_pcache,
+                jnp.asarray(prompt), jnp.asarray(pmask),
+                jnp.asarray(slot_idx), jnp.asarray(budgets),
+            )
+            self._mark_admitted(reqs, slots)
+            return
         key = (id(self.model), _freeze(self.cfg), self.n_slots, self.max_len,
                str(self.cache_dtype), self.mesh, "admit_prefix", plen)
         if key not in _SERVE_JIT_CACHE:
@@ -986,7 +1063,7 @@ class ContinuousBatchingEngine:
         from llm_quest_tpu.models.qwen3_5 import compute_3d_position_ids, get_feeds_3d_shape
 
         pid = reqs[0].prefix  # step() groups waves by (shape, prefix)
-        pcache, plen = self._prefixes[pid] if pid is not None else (None, 0)
+        pcache, plen = self._prefixes[pid][:2] if pid is not None else (None, 0)
         lb = max(self._bucket_len(len(r.ids)) for r in reqs)
         k = 1 << (len(reqs) - 1).bit_length()
         pshape = reqs[0].pixels.shape

@@ -668,3 +668,25 @@ def test_serving_speculative_stochastic(params):
     outs2 = eng2.serve([(ids, 9), (rng.integers(1, 128, size=7).tolist(), 6)])
     assert [len(o) for o in outs2] == [9, 6]
     assert all(0 <= t < 128 for o in outs2 for t in o)
+
+
+def test_serving_speculative_with_prefix(params):
+    """Prefix caching composes with speculative serving: both the target
+    and draft pool caches seed from their registered prefix rows; greedy
+    tokens equal the plain full-prompt engine (lossless through the
+    composition)."""
+    draft_cfg = dict(CFG, n_layers=1, emb_dim=16, hidden_dim=32, head_dim=4)
+    draft_params = qwen3.init(jax.random.PRNGKey(7), draft_cfg)
+    rng = np.random.default_rng(20)
+    prefix = rng.integers(1, 128, size=7).tolist()
+    suffixes = [rng.integers(1, 128, size=n).tolist() for n in (3, 5, 2)]
+
+    engine = ContinuousBatchingEngine(
+        qwen3, params, CFG, n_slots=2, max_len=48, decode_chunk=2,
+        prefill_buckets=(8,), temp=0.0, eos_ids=-1, pad_id=0,
+        draft_model=qwen3, draft_params=draft_params, draft_cfg=draft_cfg, gamma=3,
+    )
+    pid = engine.register_prefix(prefix)
+    outs = engine.serve([(s, 6, pid) for s in suffixes])
+    for s, got in zip(suffixes, outs):
+        assert got == _reference_tokens(params, prefix + s, 6), (s, got)
