@@ -124,9 +124,15 @@ def write_kv(buf, new, layer_idx, pos):
     """Write (b, h, s, d) ``new`` into the stacked (L, b, h, max_len, d)
     ``buf`` at ``layer_idx``, starting at column ``pos`` — scalar (everyone
     at the same column) or (b,) vector (continuous-batching serving: each
-    row at its own column)."""
+    row at its own column). ``new`` may carry FEWER heads than the buffer
+    (models whose layer types differ in KV groups share one max-groups
+    buffer, e.g. MiMo's SWA/GA alternation): only the first h head rows
+    are written."""
+    h = new.shape[1]
     if getattr(pos, "ndim", 0) >= 1:
-        return buf.at[layer_idx].set(_vector_pos_write(buf[layer_idx], new, pos))
+        return buf.at[layer_idx, :, :h].set(
+            _vector_pos_write(buf[layer_idx, :, :h], new, pos)
+        )
     return lax.dynamic_update_slice(
         buf, new[None].astype(buf.dtype), (layer_idx, 0, 0, pos, 0)
     )

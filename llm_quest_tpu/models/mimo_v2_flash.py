@@ -25,6 +25,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from llm_quest_tpu.config import model_dtype
+from llm_quest_tpu.inference import cache as kvc
 from llm_quest_tpu.ops import moe as moe_ops
 from llm_quest_tpu.ops import rope
 from llm_quest_tpu.ops.attention import attention, merge_heads, split_heads
@@ -142,9 +143,12 @@ def _attention(params, cfg, x, mask, cos, sin, cache, layer_idx, position_ids, *
     k = rope.apply(rms_norm_torch_parity(params["k_norm"], k), cos, sin, position_ids)
 
     if cache is not None:
+        # kvc.write_kv handles both scalar pos (batched decode) and (b,)
+        # vector pos (continuous-batching serving pool), writing only this
+        # layer type's `groups` head rows of the shared max-groups buffer
         pos = cache["pos"]
-        kc = lax.dynamic_update_slice(cache["k"], k[None].astype(cache["k"].dtype), (layer_idx, 0, 0, pos, 0))
-        vc = lax.dynamic_update_slice(cache["v"], v[None].astype(cache["v"].dtype), (layer_idx, 0, 0, pos, 0))
+        kc = kvc.write_kv(cache["k"], k, layer_idx, pos)
+        vc = kvc.write_kv(cache["v"], v, layer_idx, pos)
         cache = {**cache, "k": kc, "v": vc}
         k, v = kc[layer_idx, :, :groups], vc[layer_idx, :, :groups]
 

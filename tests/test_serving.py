@@ -690,3 +690,64 @@ def test_serving_speculative_with_prefix(params):
     outs = engine.serve([(s, 6, pid) for s in suffixes])
     for s, got in zip(suffixes, outs):
         assert got == _reference_tokens(params, prefix + s, 6), (s, got)
+
+
+# ---- every cached-decode model family serves through the same engine ----
+
+_GPT2_TINY = {
+    "vocab_size": 128, "context_length": 64, "emb_dim": 16, "n_heads": 2,
+    "n_layers": 2, "drop_rate": 0.0, "qkv_bias": True,
+}
+_LLAMA_TINY = {
+    "vocab_size": 128, "context_length": 64, "emb_dim": 64, "n_heads": 4,
+    "n_layers": 2, "num_kv_groups": 2, "hidden_dim": 128, "rope_base": 10_000,
+    "dtype": jnp.float32,
+}
+_GEMMA_TINY = {**_LLAMA_TINY, "window_size": 8, "local_global_att_ratio": 1}
+_DSV3_TINY = {
+    "vocab_size": 128, "context_length": 64, "emb_dim": 48, "n_heads": 4,
+    "n_layers": 4, "hidden_dim": 96, "num_ffn": 2, "num_experts": 4,
+    "num_shared_experts": 1, "top_k": 1, "moe_scaling_factor": 1,
+    "moe_bias_update_rate": 1e-3, "mtp_depth": 2, "mtp_loss_coeff": 0.2,
+    "rope_base": 10_000, "q_rank": 64, "dtype": jnp.float32,
+}
+_MIMO_TINY = {
+    "vocab_size": 128, "context_length": 64, "emb_dim": 32, "n_layers": 6,
+    "n_heads": 4, "num_swa_kv_groups": 4, "num_ga_kv_groups": 2, "head_dim": 12,
+    "value_head_dim": 8, "hidden_dim": 64, "window_size": 4, "hybrid_ratio": 3,
+    "rope_base": 10_000, "rope_base_ga": 640_000, "partial_rope_factor": 0.33,
+    "mtp_depth": 2, "mtp_loss_coeff": 0.3, "num_experts": 4, "top_k": 2,
+    "num_shared_experts": 0, "moe_scaling_factor": 1,
+    "moe_bias_update_rate": 1e-3, "dtype": jnp.float32,
+}
+
+
+@pytest.mark.parametrize(
+    "family,cfg",
+    [("gpt2", _GPT2_TINY), ("llama3", _LLAMA_TINY), ("gemma3", _GEMMA_TINY),
+     ("deepseek_v3", _DSV3_TINY), ("mimo_v2_flash", _MIMO_TINY)],
+)
+def test_serving_every_model_family(family, cfg):
+    """The engine is model-generic: every cached-decode architecture
+    (learned-pos GPT-2, GQA Llama, SWA-alternating Gemma, MLA DeepSeek,
+    sink+SWA-hybrid MiMo) serves a heterogeneous slot-reuse workload with
+    greedy tokens identical to the batch-synchronous engine."""
+    import importlib
+
+    model = importlib.import_module(f"llm_quest_tpu.models.{family}")
+    params = model.init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(3)
+    prompts = [rng.integers(1, cfg["vocab_size"], size=n).tolist() for n in (5, 9, 3, 12, 7)]
+    gens = [8, 5, 11, 4, 9]
+
+    engine = ContinuousBatchingEngine(
+        model, params, cfg, n_slots=2, max_len=48, decode_chunk=3,
+        prefill_buckets=(8, 16), temp=0.0, eos_ids=-1, pad_id=0,
+    )
+    outs = engine.serve(list(zip(prompts, gens)))
+    for ids, n, got in zip(prompts, gens, outs):
+        ref = gen.generate_kv_cache(
+            model, params, cfg, jnp.asarray([ids], jnp.int32),
+            max_gen=n, temp=0.0, eos_ids=-1, pad_id=0,
+        )["sequences"][0, len(ids):].tolist()
+        assert got == ref, (family, ids, got, ref)
