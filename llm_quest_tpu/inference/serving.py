@@ -150,6 +150,7 @@ class _Request:
     done: bool = False
     prefix: int | None = None  # registered prefix id (register_prefix)
     pixels: np.ndarray | None = None  # multimodal: image pixels for this prompt
+    adapter: int | None = None  # multi-LoRA: stacked adapter id for this request
     # observability timestamps (time.monotonic): queued / admitted to a slot /
     # first token credited / retired — the host stamps them, never the device
     t_submit: float = 0.0
@@ -423,6 +424,29 @@ def _admit_chunked_impl(model, _frozen, cfg, n_slots, max_len, cache_dtype,
         "budget": state["budget"].at[slots].set(budgets),
         "rng": state["rng"],
     }
+
+
+def _admit_lora_impl(model, _frozen, cfg, n_slots, max_len, cache_dtype,
+                     params, state, prompts, pmasks, slots, budgets, adapters):
+    """_admit_impl with per-row multi-LoRA: ``adapters`` (k,) selects each
+    wave row's stacked adapter (ops/lora.py::select_adapter) before the
+    prefill — the only difference from the plain admit."""
+    from llm_quest_tpu.ops.lora import select_adapter
+
+    return _admit_impl(model, _frozen, cfg, n_slots, max_len, cache_dtype,
+                       select_adapter(params, adapters), state, prompts,
+                       pmasks, slots, budgets)
+
+
+def _decode_lora_chunk_impl(model, _frozen, cfg, n_slots, max_len, decode_chunk,
+                            sample_kw, pad_id, params, state, eos_arr, slot_adapters):
+    """_decode_chunk_impl with per-slot multi-LoRA: every slot decodes
+    through ITS request's adapter, selected once for the whole chunk."""
+    from llm_quest_tpu.ops.lora import select_adapter
+
+    return _decode_chunk_impl(model, _frozen, cfg, n_slots, max_len, decode_chunk,
+                              sample_kw, pad_id, select_adapter(params, slot_adapters),
+                              state, eos_arr)
 
 
 def _admit_spec_prefix_impl(model, draft_model, _frozen, cfg, dcfg, n_slots,
@@ -740,6 +764,16 @@ class ContinuousBatchingEngine:
 
         self.draft_model, self.draft_params, self.draft_cfg = draft_model, draft_params, draft_cfg
         self.gamma = gamma
+        # multi-LoRA serving: stacked adapters in the params tree
+        # (ops/lora.py::stack_adapters) are auto-detected; submit(adapter=j)
+        # routes each request through its adapter, the null (last) row is the
+        # no-adapter base path
+        from llm_quest_tpu.ops.lora import num_adapters
+
+        self._lora_n = num_adapters(params)  # incl. the null row; 0 = off
+        if self._lora_n and self._spec:
+            raise ValueError("multi-LoRA serving does not compose with speculative serving yet")
+        self._slot_adapter = np.full((n_slots,), max(self._lora_n - 1, 0), np.int32)
         # prompts longer than the largest bucket admit through sequential
         # fixed-size prefill chunks (one program per chunk count)
         self.prefill_chunk = prefill_chunk
@@ -774,6 +808,8 @@ class ContinuousBatchingEngine:
         cfg_key = (id(model), _freeze(cfg), n_slots, max_len, str(cache_dtype), mesh)
         if self._spec:
             cfg_key = cfg_key + ("spec", id(draft_model), _freeze(draft_cfg), gamma)
+        if self._lora_n:
+            cfg_key = cfg_key + ("mlora", self._lora_n)
         admit_key = cfg_key + ("admit",)
         if admit_key not in _SERVE_JIT_CACHE:
             if self._spec:
@@ -784,7 +820,8 @@ class ContinuousBatchingEngine:
                 )
             else:
                 _SERVE_JIT_CACHE[admit_key] = jax.jit(
-                    partial(_admit_impl, model, _freeze(cfg), cfg, n_slots, max_len, cache_dtype),
+                    partial(_admit_lora_impl if self._lora_n else _admit_impl,
+                            model, _freeze(cfg), cfg, n_slots, max_len, cache_dtype),
                     donate_argnums=(1,),
                     out_shardings=self._state_shardings,
                 )
@@ -803,7 +840,8 @@ class ContinuousBatchingEngine:
             else:
                 _SERVE_JIT_CACHE[decode_key] = jax.jit(
                     partial(
-                        _decode_chunk_impl, model, _freeze(cfg), cfg, n_slots,
+                        _decode_lora_chunk_impl if self._lora_n else _decode_chunk_impl,
+                        model, _freeze(cfg), cfg, n_slots,
                         max_len, decode_chunk, tuple(sorted(self.sample_kw.items())), pad_id,
                     ),
                     donate_argnums=(1,),
@@ -852,12 +890,14 @@ class ContinuousBatchingEngine:
             for k in ks:
                 pmask = np.zeros((k, lb), bool)
                 pmask[:, 0] = True  # real_len >= 1 (the admit indexes len-1)
+                extra = (jnp.zeros((k,), jnp.int32),) if self._lora_n else ()
                 scratch = self._admit_jit(
                     self.params, scratch,
                     jnp.full((k, lb), self.pad_id, jnp.int32), jnp.asarray(pmask),
-                    jnp.zeros((k,), jnp.int32), jnp.ones((k,), jnp.int32),
+                    jnp.zeros((k,), jnp.int32), jnp.ones((k,), jnp.int32), *extra,
                 )
-        scratch, packed = self._decode_jit(self.params, scratch, self.eos_arr)
+        dextra = (jnp.asarray(self._slot_adapter),) if self._lora_n else ()
+        scratch, packed = self._decode_jit(self.params, scratch, self.eos_arr, *dextra)
         jax.block_until_ready(packed)
 
     def _bucket_len(self, prompt_len):
@@ -913,15 +953,25 @@ class ContinuousBatchingEngine:
         self._prefixes[pid] = (pcache, plen) + extra
         return pid
 
-    def submit(self, ids, max_gen, prefix=None, pixels=None):
+    def submit(self, ids, max_gen, prefix=None, pixels=None, adapter=None):
         """Queue a prompt; returns a request id. ``prefix``: id from
         ``register_prefix`` — ``ids`` is then the SUFFIX after that prefix.
         ``pixels``: image pixels for a MULTIMODAL prompt whose ids carry the
         image placeholders already expanded (the model's apply must accept
         ``image_pixels``, e.g. models/qwen3_5.py::apply); encoded once at
-        admission, never re-encoded during decode."""
+        admission, never re-encoded during decode. ``adapter``: stacked
+        multi-LoRA adapter id for this request (None = base model)."""
         if self._spec and pixels is not None:
             raise ValueError("multimodal requests are not supported in speculative serving yet")
+        if adapter is not None:
+            if not self._lora_n:
+                raise ValueError("adapter= given but params carry no stacked adapters (ops/lora.py::stack_adapters)")
+            if not 0 <= adapter < self._lora_n - 1:
+                raise ValueError(f"adapter {adapter} out of range [0, {self._lora_n - 1})")
+            if prefix is not None or pixels is not None:
+                raise ValueError("multi-LoRA requests do not compose with prefix caching or multimodal yet")
+            if len(np.asarray(ids).reshape(-1)) > self.buckets[-1]:
+                raise ValueError("multi-LoRA requests do not compose with chunked-prefill admission yet")
         ids = np.asarray(ids, np.int32).reshape(-1)
         lb = self._bucket_len(len(ids))
         plen = self._prefixes[prefix][1] if prefix is not None else 0
@@ -934,7 +984,7 @@ class ContinuousBatchingEngine:
         req = _Request(
             rid, ids, max_gen, prefix=prefix,
             pixels=None if pixels is None else np.asarray(pixels),
-            t_submit=time.monotonic(),
+            adapter=adapter, t_submit=time.monotonic(),
         )
         self._requests[rid] = req
         self._queue.append(req)
@@ -964,6 +1014,14 @@ class ContinuousBatchingEngine:
             self.state, jnp.asarray(prompt), jnp.asarray(pmask),
             jnp.asarray(slot_idx), jnp.asarray(budgets),
         )
+        if self._lora_n:
+            null = self._lora_n - 1
+            adapters = np.full((k,), null, np.int32)
+            for j in range(k):
+                r = reqs[min(j, len(reqs) - 1)]
+                adapters[j] = null if r.adapter is None else r.adapter
+            self._slot_adapter[list(slots)] = adapters[: len(reqs)]
+            args = args + (jnp.asarray(adapters),)
         self.state = self._admit_jit(*args)
         self._mark_admitted(reqs, slots)
 
@@ -1191,6 +1249,8 @@ class ContinuousBatchingEngine:
         if live:
             dargs = (self.params,) + ((self.draft_params,) if self._spec else ()) + (
                 self.state, self.eos_arr)
+            if self._lora_n:
+                dargs = dargs + (jnp.asarray(self._slot_adapter),)
             self.state, packed = self._decode_jit(*dargs)
             self._inflight.append((packed, tuple(self._slot_req)))
             self._n_chunks += 1

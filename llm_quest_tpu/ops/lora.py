@@ -68,7 +68,24 @@ def init_tiny_lora(key, linear_params, r, alpha, *, num_trainable_params=13, sha
 
 
 def lora_delta(lora, x):
-    """The low-rank update α/r · x·(update) for any variant (by structure)."""
+    """The low-rank update α/r · x·(update) for any variant (by structure).
+
+    Stacked multi-adapter form (``stack_adapters``): leaves carry a leading
+    adapter axis and ``lora["idx"]`` holds each batch row's adapter id
+    (``select_adapter``) — row i's delta uses adapter idx[i], computed as a
+    per-row gather + batched einsums (x must be (b, s, d))."""
+    if getattr(lora["A"], "ndim", 0) == 3:  # stacked multi-adapter
+        idx = lora["idx"]  # (b,) int32 — select_adapter pinned it
+        r = int(lora["A"].shape[-1])
+        scale = lora["scale"][idx].astype(x.dtype)[:, None, None]
+        A = lora["A"][idx].astype(x.dtype)  # (b, d, r)
+        xa = jnp.einsum("bsd,bdr->bsr", x, A)
+        if "P" in lora:  # TinyLoRA
+            R = jnp.einsum("bk,bkq->bq", lora["v"][idx], lora["P"][idx]).reshape(-1, r, r)
+            xa = jnp.einsum("bsr,brq->bsq", xa, R.astype(x.dtype))
+        elif "R" in lora:  # LoRA-XS
+            xa = jnp.einsum("bsr,brq->bsq", xa, lora["R"][idx].astype(x.dtype))
+        return scale * jnp.einsum("bsr,bro->bso", xa, lora["B"][idx].astype(x.dtype))
     scale = lora["scale"].astype(x.dtype)
     if "v" in lora or "P" in lora:  # TinyLoRA
         r = int(lora["A"].shape[-1])
@@ -176,3 +193,109 @@ def collect_shared_v_grad(grads):
 
     walk(grads)
     return total
+
+
+# ---------------------------------------------------------- multi-adapter
+# Multi-LoRA serving (beyond the reference, vLLM-style): many adapters over
+# one base model, selected PER ROW of a batch. Adapters stack along a new
+# leading axis inside each "lora" sub-dict; ``select_adapter`` pins a (b,)
+# index vector and ``lora_delta`` gathers each row's adapter — a tiny
+# (b, d, r) gather + two batched einsums, fully jitted, no ragged grouping.
+
+
+def stack_adapters(adapter_params):
+    """Stack n same-rank adapter params trees (each from ``replace_with_lora``
+    over the SAME base params) into ONE tree whose "lora" sub-dicts carry a
+    leading adapter axis, with a NULL adapter (zero update) appended at index
+    n — requests without an adapter select it. Base (non-lora) leaves are
+    taken from the first tree."""
+    first = adapter_params[0]
+
+    def walk(nodes):
+        node = nodes[0]
+        if isinstance(node, dict):
+            out = {}
+            for k in node:
+                if k == "lora":
+                    lora = {}
+                    for leaf in node[k]:
+                        rows = [n[k][leaf] for n in nodes]
+                        null = jnp.zeros_like(rows[0]) if leaf != "scale" else rows[0]
+                        lora[leaf] = jnp.stack(rows + [null])
+                    out[k] = lora
+                else:
+                    out[k] = walk([n[k] for n in nodes])
+            return out
+        if isinstance(node, list):
+            return [walk([n[i] for n in nodes]) for i in range(len(node))]
+        return node
+
+    del first
+    return walk(list(adapter_params))
+
+
+def num_adapters(params):
+    """Number of stacked adapters (incl. the null) in a stacked-LoRA params
+    tree, or 0 if the tree carries no stacked adapters."""
+    found = [0]
+
+    def walk(node):
+        if isinstance(node, dict):
+            if "lora" in node and getattr(node["lora"].get("A"), "ndim", 0) == 3:
+                found[0] = node["lora"]["A"].shape[0]
+                return
+            for v in node.values():
+                walk(v)
+        elif isinstance(node, list):
+            for v in node:
+                walk(v)
+
+    walk(params)
+    return found[0]
+
+
+def select_adapter(params, idx):
+    """Pin per-row adapter indices ``idx`` (b,) int32 into every stacked
+    "lora" sub-dict (as "idx"), so ``lora_delta`` gathers row i's adapter.
+    A pure tree transform — call INSIDE jit with a traced idx."""
+
+    def walk(node):
+        if isinstance(node, dict):
+            if "lora" in node and getattr(node["lora"].get("A"), "ndim", 0) == 3:
+                return {**node, "lora": {**node["lora"], "idx": idx}}
+            return {k: walk(v) for k, v in node.items()}
+        if isinstance(node, list):
+            return [walk(v) for v in node]
+        return node
+
+    return walk(params)
+
+
+def merge_adapter(params, j):
+    """Dense-merge stacked adapter ``j`` into the base weights (w + scale·U)
+    and drop the lora dicts — the single-adapter deployment form and the
+    parity oracle for per-row selection."""
+
+    def update(lora):
+        A, B = lora["A"][j], lora["B"][j]
+        if "P" in lora:  # TinyLoRA
+            r = A.shape[-1]
+            R = (lora["v"][j] @ lora["P"][j]).reshape(r, r)
+            U = A @ R.astype(A.dtype) @ B
+        elif "R" in lora:  # LoRA-XS
+            U = A @ lora["R"][j] @ B
+        else:
+            U = A @ B
+        return lora["scale"][j].astype(U.dtype) * U
+
+    def walk(node):
+        if isinstance(node, dict):
+            if "lora" in node and getattr(node["lora"].get("A"), "ndim", 0) == 3:
+                rest = {k: v for k, v in node.items() if k != "lora"}
+                return {**walk(rest), "w": node["w"] + update(node["lora"])}
+            return {k: walk(v) for k, v in node.items()}
+        if isinstance(node, list):
+            return [walk(v) for v in node]
+        return node
+
+    return walk(params)

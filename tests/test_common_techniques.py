@@ -275,3 +275,34 @@ def test_qk_clip_end_to_end_on_llama3():
     _, _, aux2 = llama3.apply(clipped, cfg, x, collect_max_logits=True)
     for m in aux2["max_attn_logits"]:
         assert float(jnp.max(m)) <= tau * 1.01
+
+
+@pytest.mark.parametrize("variant", ["lora", "lora_xs", "tiny_lora"])
+def test_multi_lora_stacked_selection_matches_merged(variant):
+    """Per-row stacked-adapter selection (stack_adapters + select_adapter)
+    == each adapter dense-merged into the base weights (merge_adapter);
+    the appended null adapter == the unmodified base layer."""
+    from llm_quest_tpu.ops.linear import init_linear, linear
+
+    key = jax.random.PRNGKey(0)
+    base = init_linear(key, 16, 24, bias=True)
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 3, 16))
+
+    adapters = []
+    for a in range(2):
+        k = jax.random.fold_in(key, 100 + a)
+        tree = lora_ops.replace_with_lora(k, {"lin": dict(base)}, 4, 8, variant=variant)
+        lo = tree["lin"]["lora"]
+        leaf = {"lora": "B", "lora_xs": "R", "tiny_lora": "v"}[variant]
+        lo[leaf] = 0.1 * jax.random.normal(jax.random.fold_in(k, 1), lo[leaf].shape)
+        adapters.append(tree)
+    stacked = lora_ops.stack_adapters(adapters)
+    assert lora_ops.num_adapters(stacked) == 3  # 2 + null
+
+    idx = jnp.asarray([0, 1, 2, 0])
+    y = linear(lora_ops.select_adapter(stacked, idx)["lin"], x)
+    for row, j in enumerate([0, 1, 2, 0]):
+        ref = linear(lora_ops.merge_adapter(stacked, j)["lin"], x[row : row + 1])
+        assert float(jnp.max(jnp.abs(y[row : row + 1] - ref))) < 1e-5
+    base_y = linear(base, x[2:3])  # null row = base
+    assert float(jnp.max(jnp.abs(y[2:3] - base_y))) < 1e-5

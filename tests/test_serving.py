@@ -751,3 +751,51 @@ def test_serving_every_model_family(family, cfg):
             max_gen=n, temp=0.0, eos_ids=-1, pad_id=0,
         )["sequences"][0, len(ids):].tolist()
         assert got == ref, (family, ids, got, ref)
+
+
+def test_serving_multi_lora(params):
+    """Multi-LoRA serving: requests select per-row stacked adapters in the
+    same slot pool; each request's greedy tokens equal the plain engine run
+    on its adapter DENSE-MERGED into the base weights (no-adapter requests
+    equal the unmodified base)."""
+    from llm_quest_tpu.ops import lora as L
+
+    key = jax.random.PRNGKey(5)
+    adapters = []
+    for a in range(2):
+        k = jax.random.fold_in(key, a)
+        tree = L.replace_with_lora(
+            k, params, 4, 8, path_filter=lambda p: "att" in p or "ffn" in p
+        )
+
+        def randomize(node, kk=k):
+            if isinstance(node, dict):
+                if "lora" in node:
+                    b = node["lora"]["B"]
+                    noise = 0.2 * jax.random.normal(jax.random.fold_in(kk, b.size), b.shape)
+                    return {**node, "lora": {**node["lora"], "B": noise.astype(b.dtype)}}
+                return {kk2: randomize(v, kk) for kk2, v in node.items()}
+            if isinstance(node, list):
+                return [randomize(v, kk) for v in node]
+            return node
+
+        adapters.append(randomize(tree))
+    stacked = L.stack_adapters(adapters)
+
+    rng = np.random.default_rng(11)
+    prompts = [rng.integers(1, 128, size=n).tolist() for n in (5, 8, 3, 6, 4)]
+    whos = [0, 1, None, 1, 0]
+    gens = [7, 5, 9, 4, 6]
+
+    engine = ContinuousBatchingEngine(
+        qwen3, stacked, CFG, n_slots=2, max_len=48, decode_chunk=3,
+        prefill_buckets=(8,), temp=0.0, eos_ids=-1, pad_id=0,
+    )
+    outs = engine.serve([(p, g, None, None, a) for p, g, a in zip(prompts, gens, whos)])
+    for p, g, a, got in zip(prompts, gens, whos, outs):
+        ref_params = params if a is None else L.merge_adapter(stacked, a)
+        ref = gen.generate_kv_cache(
+            qwen3, ref_params, CFG, jnp.asarray([p], jnp.int32),
+            max_gen=g, temp=0.0, eos_ids=-1, pad_id=0,
+        )["sequences"][0, len(p):].tolist()
+        assert got == ref, (a, p, got, ref)
