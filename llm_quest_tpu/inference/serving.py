@@ -715,7 +715,7 @@ class ContinuousBatchingEngine:
         temp=0.0, eos_ids=None, pad_id=0, cache_dtype=None, rng=None,
         pipeline_depth=2, mesh=None, param_rules=None,
         draft_model=None, draft_params=None, draft_cfg=None, gamma=4,
-        prefill_chunk=None,
+        draft_param_rules=None, prefill_chunk=None,
     ):
         self._spec = draft_model is not None
         if self._spec:
@@ -724,9 +724,10 @@ class ContinuousBatchingEngine:
             # chunk commits between decode_chunk and decode_chunk·(γ+1)
             # tokens per live slot. Greedy (temp=0) acceptance is exact-match
             # — LOSSLESS vs plain greedy decode; temp>0 runs the reference's
-            # stochastic u<p/q acceptance with rejection resampling.
+            # stochastic u<p/q acceptance with rejection resampling. On a
+            # mesh, BOTH pools shard (slots over "data", heads over "model")
+            # and the draft params shard per draft_param_rules.
             assert draft_params is not None and draft_cfg is not None
-            assert mesh is None, "speculative serving is single-chip for now"
         if mesh is not None:
             # Multi-chip serving: params shard per the TP rules, slots shard
             # over "data", cache heads over "model" (pool_state_shardings);
@@ -739,18 +740,27 @@ class ContinuousBatchingEngine:
             # sdpa partitions automatically, while an un-shard_mapped
             # pallas_call would force a gather.
             tp = mesh.shape["model"]
-            kvh = cfg.get("num_kv_groups", cfg.get("n_heads"))
-            if tp > 1 and kvh and kvh % tp == 0:
-                # use_gdn_kernel off: the GDN Pallas kernel has no
-                # head-sharded route yet — the chunked XLA form partitions
-                cfg = dict(cfg, head_shard={"mesh": mesh, "axis": "model"}, use_gdn_kernel=False)
-            else:
-                cfg = dict(cfg, use_flash=False, use_flash_decode=False,
-                           use_fused_mha=False, use_gdn_kernel=False)
+
+            def _mesh_cfg(c):
+                kvh = c.get("num_kv_groups", c.get("n_heads"))
+                if tp > 1 and kvh and kvh % tp == 0:
+                    # use_gdn_kernel off: the GDN Pallas kernel has no
+                    # head-sharded route yet — the chunked XLA form partitions
+                    return dict(c, head_shard={"mesh": mesh, "axis": "model"}, use_gdn_kernel=False)
+                return dict(c, use_flash=False, use_flash_decode=False,
+                            use_fused_mha=False, use_gdn_kernel=False)
+
+            cfg = _mesh_cfg(cfg)
             if param_rules is not None:
                 from llm_quest_tpu.parallel.sharding import shard_params
 
                 params = shard_params(params, mesh, param_rules)
+            if self._spec:
+                draft_cfg = _mesh_cfg(draft_cfg)
+                if draft_param_rules is not None:
+                    from llm_quest_tpu.parallel.sharding import shard_params
+
+                    draft_params = shard_params(draft_params, mesh, draft_param_rules)
         self.mesh = mesh
         self.model, self.params, self.cfg = model, params, cfg
         self.n_slots, self.max_len = n_slots, max_len
@@ -817,6 +827,7 @@ class ContinuousBatchingEngine:
                     partial(_admit_spec_impl, model, draft_model, _freeze(cfg), cfg,
                             draft_cfg, n_slots, max_len, cache_dtype),
                     donate_argnums=(2,),
+                    out_shardings=self._state_shardings,
                 )
             else:
                 _SERVE_JIT_CACHE[admit_key] = jax.jit(
@@ -836,6 +847,9 @@ class ContinuousBatchingEngine:
                             draft_cfg, n_slots, max_len, gamma, decode_chunk, pad_id,
                             tuple(sorted(self.sample_kw.items()))),
                     donate_argnums=(2,),
+                    out_shardings=None if mesh is None else (
+                        self._state_shardings, NamedSharding(mesh, P())
+                    ),
                 )
             else:
                 _SERVE_JIT_CACHE[decode_key] = jax.jit(
@@ -891,13 +905,15 @@ class ContinuousBatchingEngine:
                 pmask = np.zeros((k, lb), bool)
                 pmask[:, 0] = True  # real_len >= 1 (the admit indexes len-1)
                 extra = (jnp.zeros((k,), jnp.int32),) if self._lora_n else ()
+                head = (self.params,) + ((self.draft_params,) if self._spec else ())
                 scratch = self._admit_jit(
-                    self.params, scratch,
+                    *head, scratch,
                     jnp.full((k, lb), self.pad_id, jnp.int32), jnp.asarray(pmask),
                     jnp.zeros((k,), jnp.int32), jnp.ones((k,), jnp.int32), *extra,
                 )
         dextra = (jnp.asarray(self._slot_adapter),) if self._lora_n else ()
-        scratch, packed = self._decode_jit(self.params, scratch, self.eos_arr, *dextra)
+        head = (self.params,) + ((self.draft_params,) if self._spec else ())
+        scratch, packed = self._decode_jit(*head, scratch, self.eos_arr, *dextra)
         jax.block_until_ready(packed)
 
     def _bucket_len(self, prompt_len):
@@ -1082,13 +1098,14 @@ class ContinuousBatchingEngine:
             d_pcache = self._prefixes[pid][2]
             key = (id(self.model), id(self.draft_model), _freeze(self.cfg),
                    _freeze(self.draft_cfg), self.n_slots, self.max_len,
-                   str(self.cache_dtype), "admit_spec_prefix", plen)
+                   str(self.cache_dtype), self.mesh, "admit_spec_prefix", plen)
             if key not in _SERVE_JIT_CACHE:
                 _SERVE_JIT_CACHE[key] = jax.jit(
                     partial(_admit_spec_prefix_impl, self.model, self.draft_model,
                             _freeze(self.cfg), self.cfg, self.draft_cfg,
                             self.n_slots, self.max_len, self.cache_dtype, plen),
                     donate_argnums=(2,),
+                    out_shardings=self._state_shardings,
                 )
             self.state = _SERVE_JIT_CACHE[key](
                 self.params, self.draft_params, self.state, pcache, d_pcache,

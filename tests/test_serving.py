@@ -799,3 +799,38 @@ def test_serving_multi_lora(params):
             max_gen=g, temp=0.0, eos_ids=-1, pad_id=0,
         )["sequences"][0, len(p):].tolist()
         assert got == ref, (a, p, got, ref)
+
+
+def test_serving_speculative_on_mesh(params):
+    """Speculative serving runs SHARDED: target and draft pools both
+    distribute over the (data=4, model=2) mesh (slots over "data", KV heads
+    over "model"), draft params TP-shard with their own rules, and greedy
+    tokens stay identical to the plain single-device engine (lossless
+    through the sharding)."""
+    from llm_quest_tpu.parallel import create_mesh, sharding_rules_llama
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 devices")
+    mesh = create_mesh(8, model_parallel=2)
+
+    draft_cfg = dict(CFG, n_layers=1, emb_dim=16, hidden_dim=32, head_dim=4)
+    draft_params = qwen3.init(jax.random.PRNGKey(7), draft_cfg)
+    rng = np.random.default_rng(13)
+    prompts = [rng.integers(1, 128, size=n).tolist() for n in (4, 7, 3, 6, 5, 8)]
+    gens = [7, 5, 9, 6, 4, 8]
+
+    engine = ContinuousBatchingEngine(
+        qwen3, params, CFG, n_slots=4, max_len=48, decode_chunk=2,
+        prefill_buckets=(8,), temp=0.0, eos_ids=-1, pad_id=0,
+        mesh=mesh, param_rules=sharding_rules_llama,
+        draft_model=qwen3, draft_params=draft_params, draft_cfg=draft_cfg,
+        draft_param_rules=sharding_rules_llama, gamma=3,
+    )
+    # both pools genuinely distributed
+    assert tuple(engine.state["cache"]["k"].sharding.spec)[:3] == (None, "data", "model")
+    assert tuple(engine.state["d_cache"]["k"].sharding.spec)[:2] == (None, "data")
+
+    outs = engine.serve(list(zip(prompts, gens)))
+    for ids, mg, got in zip(prompts, gens, outs):
+        assert got == _reference_tokens(params, ids, mg), (ids, got)
+    assert tuple(engine.state["d_cache"]["k"].sharding.spec)[:2] == (None, "data")
