@@ -12,6 +12,8 @@ save_checkpoint accepts the full train state.
 
 import os
 
+_ASYNC = None  # singleton AsyncCheckpointer (owns a background thread pool)
+
 
 def _checkpointer():
     import orbax.checkpoint as ocp
@@ -19,8 +21,26 @@ def _checkpointer():
     return ocp.PyTreeCheckpointer()
 
 
-def save_checkpoint(path, params, *, opt_state=None, step=None, extra=None):
-    """Save a train-state pytree. path: directory (created if needed)."""
+def _async_checkpointer():
+    global _ASYNC
+    if _ASYNC is None:
+        import orbax.checkpoint as ocp
+
+        _ASYNC = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+    return _ASYNC
+
+
+def save_checkpoint(path, params, *, opt_state=None, step=None, extra=None,
+                    blocking=True):
+    """Save a train-state pytree. path: directory (created if needed).
+
+    blocking=False schedules an ASYNC save: device arrays are snapshotted
+    to host immediately (so training may donate/overwrite them the very
+    next step) and the serialization runs on Orbax's background thread —
+    the train loop never waits on disk. Call ``wait_for_saves()`` before
+    reading the checkpoint back (or at loop end); a second async save
+    transparently waits for the previous one first (Orbax serializes on
+    its own commit thread)."""
     state = {"params": params}
     if opt_state is not None:
         state["opt_state"] = opt_state
@@ -29,8 +49,17 @@ def save_checkpoint(path, params, *, opt_state=None, step=None, extra=None):
     if extra is not None:
         state["extra"] = extra
     path = os.path.abspath(path)
+    if not blocking:
+        _async_checkpointer().save(path, state, force=True)
+        return path
     _checkpointer().save(path, state, force=True)
     return path
+
+
+def wait_for_saves():
+    """Block until every scheduled async save has committed to disk."""
+    if _ASYNC is not None:
+        _ASYNC.wait_until_finished()
 
 
 def load_checkpoint(path, *, target=None):

@@ -241,3 +241,32 @@ def test_prefetch_to_device_order_and_errors():
     next(it)
     with pytest.raises(RuntimeError, match="loader broke"):
         next(it)
+
+
+@pytest.mark.slow
+def test_async_checkpoint_overlaps_training(tmp_path):
+    """Async save: the scheduled checkpoint snapshots the state AT SCHEDULING
+    time, training continues (donating/updating params) while serialization
+    runs in the background, and the restore matches the snapshot exactly —
+    not the mutated post-save params."""
+    from llm_quest_tpu.training.checkpointing import wait_for_saves
+
+    params = gpt2.init(jax.random.PRNGKey(0), TINY)
+    snapshot = jax.tree.map(np.asarray, params)  # host copy for the oracle
+
+    path = save_checkpoint(str(tmp_path / "async_ckpt"), params, step=3, blocking=False)
+    # keep "training": overwrite params several times while the save runs
+    for i in range(4):
+        params = jax.tree.map(lambda x: x + 1.0 + i, params)
+    wait_for_saves()
+
+    restored = load_checkpoint(path)
+    diffs = jax.tree.map(lambda a, b: float(np.abs(np.asarray(a) - b).max()),
+                         restored["params"], snapshot)
+    assert max(jax.tree.leaves(diffs)) == 0.0
+    assert int(restored["step"]) == 3
+
+    # a second async save to the same path supersedes the first
+    save_checkpoint(path, params, step=4, blocking=False)
+    wait_for_saves()
+    assert int(load_checkpoint(path)["step"]) == 4
