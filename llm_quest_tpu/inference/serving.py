@@ -438,6 +438,29 @@ def _admit_lora_impl(model, _frozen, cfg, n_slots, max_len, cache_dtype,
                        pmasks, slots, budgets)
 
 
+def _prefix_lora_impl(model, _frozen, cfg, max_len, cache_dtype, plen,
+                      params, ids, adapter_idx):
+    """_prefix_impl under a stacked adapter: the b=1 prefix row prefills
+    through adapter_idx (1,) — requests sharing this prefix must use the
+    SAME adapter (the stored K/V embed it)."""
+    from llm_quest_tpu.ops.lora import select_adapter
+
+    return _prefix_impl(model, _frozen, cfg, max_len, cache_dtype, plen,
+                        select_adapter(params, adapter_idx), ids)
+
+
+def _admit_prefix_lora_impl(model, _frozen, cfg, n_slots, max_len, cache_dtype, plen,
+                            params, state, pcache, prompts, pmasks, slots, budgets,
+                            adapters):
+    """_admit_prefix_impl with per-row multi-LoRA (every row carries the
+    prefix's adapter — submit() enforced the match)."""
+    from llm_quest_tpu.ops.lora import select_adapter
+
+    return _admit_prefix_impl(model, _frozen, cfg, n_slots, max_len, cache_dtype,
+                              plen, select_adapter(params, adapters), state,
+                              pcache, prompts, pmasks, slots, budgets)
+
+
 def _decode_lora_chunk_impl(model, _frozen, cfg, n_slots, max_len, decode_chunk,
                             sample_kw, pad_id, params, state, eos_arr, slot_adapters):
     """_decode_chunk_impl with per-slot multi-LoRA: every slot decodes
@@ -869,6 +892,7 @@ class ContinuousBatchingEngine:
         self._slot_req = [None] * n_slots
         self._requests = {}
         self._prefixes = {}  # pid -> (prefilled b=1 cache row, real prefix len)
+        self._prefix_adapter = {}  # pid -> multi-LoRA adapter the prefix was prefilled with
         self._next_rid = 0
         # observability counters (stats()): admit waves, decode chunks, and
         # per-chunk live-slot occupancy for utilization
@@ -924,7 +948,7 @@ class ContinuousBatchingEngine:
             return -(-prompt_len // self.prefill_chunk) * self.prefill_chunk
         raise ValueError(f"prompt_len {prompt_len} exceeds largest bucket {self.buckets[-1]}")
 
-    def register_prefix(self, ids):
+    def register_prefix(self, ids, adapter=None):
         """Prefill a shared prompt PREFIX (system prompt / few-shot header)
         once; requests submitted with ``prefix=pid`` skip recomputing it —
         their admit broadcasts the stored cache row and prefills only the
@@ -934,7 +958,16 @@ class ContinuousBatchingEngine:
         prompts), so the compile count stays bounded. Hybrid (GDN) models
         resume exactly too: the suffix prefill seeds the depthwise conv
         from the stored taps (ops/gdn.py::causal_conv1d_seeded) and the
-        recurrent state continues through ``prev_state``."""
+        recurrent state continues through ``prev_state``.
+
+        ``adapter``: multi-LoRA — the prefix row prefills THROUGH stacked
+        adapter ``adapter`` (None = base); requests using this prefix must
+        submit the same adapter (its K/V are baked into the stored row) —
+        the per-tenant "system prompt + adapter" shape."""
+        if adapter is not None and not self._lora_n:
+            raise ValueError("adapter= given but params carry no stacked adapters")
+        if adapter is not None and not 0 <= adapter < self._lora_n - 1:
+            raise ValueError(f"adapter {adapter} out of range [0, {self._lora_n - 1})")
         ids = np.asarray(ids, np.int32).reshape(-1)
         if "image_token_id" in self.cfg and np.any(ids == self.cfg["image_token_id"]):
             raise ValueError(
@@ -945,13 +978,24 @@ class ContinuousBatchingEngine:
         if plen + min(self.buckets) >= self.max_len:
             raise ValueError(f"prefix of {plen} leaves no room in max_len {self.max_len}")
         key = (id(self.model), _freeze(self.cfg), self.max_len,
-               str(self.cache_dtype), self.mesh, "prefix", plen)
+               str(self.cache_dtype), self.mesh, "prefix", plen,
+               "mlora" if self._lora_n else None)
         if key not in _SERVE_JIT_CACHE:
-            _SERVE_JIT_CACHE[key] = jax.jit(
-                partial(_prefix_impl, self.model, _freeze(self.cfg), self.cfg,
-                        self.max_len, self.cache_dtype, plen)
-            )
-        pcache = _SERVE_JIT_CACHE[key](self.params, jnp.asarray(ids[None]))
+            if self._lora_n:
+                _SERVE_JIT_CACHE[key] = jax.jit(
+                    partial(_prefix_lora_impl, self.model, _freeze(self.cfg), self.cfg,
+                            self.max_len, self.cache_dtype, plen)
+                )
+            else:
+                _SERVE_JIT_CACHE[key] = jax.jit(
+                    partial(_prefix_impl, self.model, _freeze(self.cfg), self.cfg,
+                            self.max_len, self.cache_dtype, plen)
+                )
+        pargs = (self.params, jnp.asarray(ids[None]))
+        if self._lora_n:
+            null = self._lora_n - 1
+            pargs = pargs + (jnp.asarray([null if adapter is None else adapter], jnp.int32),)
+        pcache = _SERVE_JIT_CACHE[key](*pargs)
         extra = ()
         if self._spec:
             # speculative engines prefill the DRAFT's prefix row too, and
@@ -967,6 +1011,7 @@ class ContinuousBatchingEngine:
             extra = (_SERVE_JIT_CACHE[dkey](self.draft_params, jnp.asarray(ids[None])),)
         pid = len(self._prefixes)
         self._prefixes[pid] = (pcache, plen) + extra
+        self._prefix_adapter[pid] = adapter
         return pid
 
     def submit(self, ids, max_gen, prefix=None, pixels=None, adapter=None):
@@ -984,10 +1029,18 @@ class ContinuousBatchingEngine:
                 raise ValueError("adapter= given but params carry no stacked adapters (ops/lora.py::stack_adapters)")
             if not 0 <= adapter < self._lora_n - 1:
                 raise ValueError(f"adapter {adapter} out of range [0, {self._lora_n - 1})")
-            if prefix is not None or pixels is not None:
-                raise ValueError("multi-LoRA requests do not compose with prefix caching or multimodal yet")
+        if self._lora_n:
+            # these admit paths don't thread per-row adapter selection yet —
+            # stacked params would reach linear() without an idx
+            if pixels is not None:
+                raise ValueError("multi-LoRA engines do not serve multimodal requests yet")
             if len(np.asarray(ids).reshape(-1)) > self.buckets[-1]:
-                raise ValueError("multi-LoRA requests do not compose with chunked-prefill admission yet")
+                raise ValueError("multi-LoRA engines do not serve chunked-prefill prompts yet")
+        if self._lora_n and prefix is not None and adapter != self._prefix_adapter[prefix]:
+            raise ValueError(
+                f"request adapter {adapter} != adapter {self._prefix_adapter[prefix]} "
+                f"baked into prefix {prefix}'s stored K/V — register a prefix per adapter"
+            )
         ids = np.asarray(ids, np.int32).reshape(-1)
         lb = self._bucket_len(len(ids))
         plen = self._prefixes[prefix][1] if prefix is not None else 0
@@ -1115,18 +1168,27 @@ class ContinuousBatchingEngine:
             self._mark_admitted(reqs, slots)
             return
         key = (id(self.model), _freeze(self.cfg), self.n_slots, self.max_len,
-               str(self.cache_dtype), self.mesh, "admit_prefix", plen)
+               str(self.cache_dtype), self.mesh, "admit_prefix", plen,
+               "mlora" if self._lora_n else None)
         if key not in _SERVE_JIT_CACHE:
             _SERVE_JIT_CACHE[key] = jax.jit(
-                partial(_admit_prefix_impl, self.model, _freeze(self.cfg), self.cfg,
+                partial(_admit_prefix_lora_impl if self._lora_n else _admit_prefix_impl,
+                        self.model, _freeze(self.cfg), self.cfg,
                         self.n_slots, self.max_len, self.cache_dtype, plen),
                 donate_argnums=(1,),
                 out_shardings=self._state_shardings,
             )
-        self.state = _SERVE_JIT_CACHE[key](
+        args = (
             self.params, self.state, pcache, jnp.asarray(prompt),
             jnp.asarray(pmask), jnp.asarray(slot_idx), jnp.asarray(budgets),
         )
+        if self._lora_n:
+            null = self._lora_n - 1
+            a = self._prefix_adapter[pid]
+            adapters = np.full((k,), null if a is None else a, np.int32)
+            self._slot_adapter[list(slots)] = adapters[: len(reqs)]
+            args = args + (jnp.asarray(adapters),)
+        self.state = _SERVE_JIT_CACHE[key](*args)
         self._mark_admitted(reqs, slots)
 
     def _admit_group_vlm(self, reqs, slots):

@@ -834,3 +834,64 @@ def test_serving_speculative_on_mesh(params):
     for ids, mg, got in zip(prompts, gens, outs):
         assert got == _reference_tokens(params, ids, mg), (ids, got)
     assert tuple(engine.state["d_cache"]["k"].sharding.spec)[:2] == (None, "data")
+
+
+def test_serving_multi_lora_with_prefix(params):
+    """Per-tenant "system prompt + adapter": register_prefix(adapter=j)
+    prefills the shared prefix THROUGH adapter j; suffix requests on that
+    prefix decode through the same adapter, with greedy tokens equal to the
+    plain engine on the adapter dense-merged (and base-prefix requests equal
+    the base engine). Mismatched request/prefix adapters are rejected."""
+    from llm_quest_tpu.ops import lora as L
+
+    key = jax.random.PRNGKey(6)
+    adapters = []
+    for a in range(2):
+        k = jax.random.fold_in(key, a)
+        tree = L.replace_with_lora(
+            k, params, 4, 8, path_filter=lambda p: "att" in p or "ffn" in p
+        )
+
+        def randomize(node, kk=k):
+            if isinstance(node, dict):
+                if "lora" in node:
+                    b = node["lora"]["B"]
+                    noise = 0.2 * jax.random.normal(jax.random.fold_in(kk, b.size), b.shape)
+                    return {**node, "lora": {**node["lora"], "B": noise.astype(b.dtype)}}
+                return {kk2: randomize(v, kk) for kk2, v in node.items()}
+            if isinstance(node, list):
+                return [randomize(v, kk) for v in node]
+            return node
+
+        adapters.append(randomize(tree))
+    stacked = L.stack_adapters(adapters)
+
+    rng = np.random.default_rng(17)
+    prefix = rng.integers(1, 128, size=6).tolist()
+    suffixes = [rng.integers(1, 128, size=n).tolist() for n in (3, 5, 2)]
+
+    engine = ContinuousBatchingEngine(
+        qwen3, stacked, CFG, n_slots=2, max_len=48, decode_chunk=2,
+        prefill_buckets=(8,), temp=0.0, eos_ids=-1, pad_id=0,
+    )
+    pid0 = engine.register_prefix(prefix, adapter=0)
+    pid_b = engine.register_prefix(prefix)  # base-model prefix
+    with pytest.raises(ValueError, match="baked into prefix"):
+        engine.submit(suffixes[0], 4, prefix=pid0, adapter=1)
+    with pytest.raises(ValueError, match="baked into prefix"):
+        engine.submit(suffixes[0], 4, prefix=pid0)  # None != 0
+
+    reqs = [(s, 5, pid0, None, 0) for s in suffixes] + [(suffixes[0], 5, pid_b, None, None)]
+    outs = engine.serve(reqs)
+    merged = L.merge_adapter(stacked, 0)
+    for s, got in zip(suffixes, outs[:3]):
+        ref = gen.generate_kv_cache(
+            qwen3, merged, CFG, jnp.asarray([prefix + s], jnp.int32),
+            max_gen=5, temp=0.0, eos_ids=-1, pad_id=0,
+        )["sequences"][0, len(prefix) + len(s):].tolist()
+        assert got == ref, (s, got, ref)
+    base_ref = gen.generate_kv_cache(
+        qwen3, params, CFG, jnp.asarray([prefix + suffixes[0]], jnp.int32),
+        max_gen=5, temp=0.0, eos_ids=-1, pad_id=0,
+    )["sequences"][0, len(prefix) + len(suffixes[0]):].tolist()
+    assert outs[3] == base_ref
