@@ -151,6 +151,7 @@ class _Request:
     prefix: int | None = None  # registered prefix id (register_prefix)
     pixels: np.ndarray | None = None  # multimodal: image pixels for this prompt
     adapter: int | None = None  # multi-LoRA: stacked adapter id for this request
+    sample: np.ndarray | None = None  # per-request [temp, top_k, top_p, min_p] override
     # observability timestamps (time.monotonic): queued / admitted to a slot /
     # first token credited / retired — the host stamps them, never the device
     t_submit: float = 0.0
@@ -340,8 +341,20 @@ def _admit_vlm_prefix_impl(model, _frozen, cfg, n_slots, max_len, cache_dtype, p
 
 
 def _decode_chunk_impl(model, _frozen, cfg, n_slots, max_len, decode_chunk,
-                       sample_kw, pad_id, params, state, eos_arr):
-    sample = partial(sampling, **dict(sample_kw))
+                       sample_kw, pad_id, params, state, eos_arr, row_sample=None):
+    if row_sample is None:
+        sample = partial(sampling, **dict(sample_kw))
+    else:
+        # per-request sampling: row_sample (n_slots, 4) = [temp, top_k,
+        # top_p, min_p] per slot (ops/sampling.py::sampling_per_row — one
+        # program serves mixed greedy/temp/top-k/top-p/min-p traffic)
+        from llm_quest_tpu.ops.sampling import sampling_per_row
+
+        sample = partial(
+            sampling_per_row,
+            temp=row_sample[:, 0], top_k=row_sample[:, 1].astype(jnp.int32),
+            top_p=row_sample[:, 2], min_p=row_sample[:, 3],
+        )
 
     def step(carry, _):
         cache, mask_buf, last_logits, seqpos, finished, budget, rng = carry
@@ -462,14 +475,15 @@ def _admit_prefix_lora_impl(model, _frozen, cfg, n_slots, max_len, cache_dtype, 
 
 
 def _decode_lora_chunk_impl(model, _frozen, cfg, n_slots, max_len, decode_chunk,
-                            sample_kw, pad_id, params, state, eos_arr, slot_adapters):
+                            sample_kw, pad_id, params, state, eos_arr, slot_adapters,
+                            row_sample=None):
     """_decode_chunk_impl with per-slot multi-LoRA: every slot decodes
     through ITS request's adapter, selected once for the whole chunk."""
     from llm_quest_tpu.ops.lora import select_adapter
 
     return _decode_chunk_impl(model, _frozen, cfg, n_slots, max_len, decode_chunk,
                               sample_kw, pad_id, select_adapter(params, slot_adapters),
-                              state, eos_arr)
+                              state, eos_arr, row_sample)
 
 
 def _admit_spec_prefix_impl(model, draft_model, _frozen, cfg, dcfg, n_slots,
@@ -738,7 +752,7 @@ class ContinuousBatchingEngine:
         temp=0.0, eos_ids=None, pad_id=0, cache_dtype=None, rng=None,
         pipeline_depth=2, mesh=None, param_rules=None,
         draft_model=None, draft_params=None, draft_cfg=None, gamma=4,
-        draft_param_rules=None, prefill_chunk=None,
+        draft_param_rules=None, prefill_chunk=None, per_request_sampling=False,
     ):
         self._spec = draft_model is not None
         if self._spec:
@@ -790,6 +804,17 @@ class ContinuousBatchingEngine:
         self.decode_chunk = decode_chunk
         self.buckets = tuple(sorted(b for b in prefill_buckets if b <= max_len))
         self.sample_kw = dict(top_k=top_k, top_p=top_p, min_p=min_p, temp=temp)
+        # per-request sampling: submit(temp=, top_k=, top_p=, min_p=)
+        # overrides the engine defaults PER ROW; one decode program serves
+        # mixed sampler traffic (greedy + stochastic in the same pool)
+        self._row_sampling = per_request_sampling
+        if per_request_sampling and draft_model is not None:
+            raise ValueError("per-request sampling does not compose with speculative serving yet")
+        self._default_sample = np.asarray(
+            [temp, top_k or 0, 2.0 if top_p is None else top_p, min_p or 0.0],
+            np.float32,
+        )
+        self._slot_sample = np.tile(self._default_sample, (n_slots, 1))
         self.eos_arr = jnp.asarray(_normalize_eos(eos_ids, pad_id), jnp.int32)
         self.pad_id = pad_id
         self.cache_dtype = cache_dtype
@@ -862,6 +887,7 @@ class ContinuousBatchingEngine:
         self._admit_jit = _SERVE_JIT_CACHE[admit_key]
         decode_key = cfg_key + (
             "decode", decode_chunk, _freeze(self.sample_kw), pad_id,
+            "rowsample" if self._row_sampling else None,
         )
         if decode_key not in _SERVE_JIT_CACHE:
             if self._spec:
@@ -936,6 +962,8 @@ class ContinuousBatchingEngine:
                     jnp.zeros((k,), jnp.int32), jnp.ones((k,), jnp.int32), *extra,
                 )
         dextra = (jnp.asarray(self._slot_adapter),) if self._lora_n else ()
+        if self._row_sampling:
+            dextra = dextra + (jnp.asarray(self._slot_sample),)
         head = (self.params,) + ((self.draft_params,) if self._spec else ())
         scratch, packed = self._decode_jit(*head, scratch, self.eos_arr, *dextra)
         jax.block_until_ready(packed)
@@ -1014,14 +1042,18 @@ class ContinuousBatchingEngine:
         self._prefix_adapter[pid] = adapter
         return pid
 
-    def submit(self, ids, max_gen, prefix=None, pixels=None, adapter=None):
+    def submit(self, ids, max_gen, prefix=None, pixels=None, adapter=None,
+               temp=None, top_k=None, top_p=None, min_p=None):
         """Queue a prompt; returns a request id. ``prefix``: id from
         ``register_prefix`` — ``ids`` is then the SUFFIX after that prefix.
         ``pixels``: image pixels for a MULTIMODAL prompt whose ids carry the
         image placeholders already expanded (the model's apply must accept
         ``image_pixels``, e.g. models/qwen3_5.py::apply); encoded once at
         admission, never re-encoded during decode. ``adapter``: stacked
-        multi-LoRA adapter id for this request (None = base model)."""
+        multi-LoRA adapter id for this request (None = base model).
+        ``temp``/``top_k``/``top_p``/``min_p``: per-request sampler
+        overrides (engine must be built with per_request_sampling=True;
+        unset knobs fall back to the engine defaults)."""
         if self._spec and pixels is not None:
             raise ValueError("multimodal requests are not supported in speculative serving yet")
         if adapter is not None:
@@ -1050,10 +1082,23 @@ class ContinuousBatchingEngine:
             )
         rid = self._next_rid
         self._next_rid += 1
+        sample_row = None
+        if any(v is not None for v in (temp, top_k, top_p, min_p)):
+            if not self._row_sampling:
+                raise ValueError("per-request sampler overrides need per_request_sampling=True")
+            d = self._default_sample
+            sample_row = np.asarray(
+                [d[0] if temp is None else temp,
+                 d[1] if top_k is None else top_k,
+                 d[2] if top_p is None else top_p,
+                 d[3] if min_p is None else min_p], np.float32,
+            )
+            if sample_row[2] < 1.0 and sample_row[3] > 0.0:  # effective combo
+                raise ValueError("Cannot use top_p and min_p together")
         req = _Request(
             rid, ids, max_gen, prefix=prefix,
             pixels=None if pixels is None else np.asarray(pixels),
-            adapter=adapter, t_submit=time.monotonic(),
+            adapter=adapter, sample=sample_row, t_submit=time.monotonic(),
         )
         self._requests[rid] = req
         self._queue.append(req)
@@ -1257,6 +1302,10 @@ class ContinuousBatchingEngine:
         for r, s in zip(reqs, slots):
             self._slot_req[s] = r
             r.t_admit = now
+            if self._row_sampling:
+                self._slot_sample[s] = (
+                    self._default_sample if r.sample is None else r.sample
+                )
         self._n_waves += 1
 
     def _drain_one(self):
@@ -1330,6 +1379,8 @@ class ContinuousBatchingEngine:
                 self.state, self.eos_arr)
             if self._lora_n:
                 dargs = dargs + (jnp.asarray(self._slot_adapter),)
+            if self._row_sampling:
+                dargs = dargs + (jnp.asarray(self._slot_sample),)
             self.state, packed = self._decode_jit(*dargs)
             self._inflight.append((packed, tuple(self._slot_req)))
             self._n_chunks += 1

@@ -80,3 +80,50 @@ def sampling(rng, logits, *, top_k=None, top_p=None, min_p=None, temp=0.0):
     probs = filter_probs(probs, top_k=top_k, top_p=top_p, min_p=min_p)
     # categorical over log-probs: zeroed tokens → -inf → never sampled
     return jax.random.categorical(rng, jnp.log(probs), axis=-1).astype(jnp.int32)
+
+
+def sampling_per_row(rng, logits, *, temp, top_k, top_p, min_p):
+    """Per-ROW sampling: every argument is a (b,) array, so one compiled
+    program serves requests with different sampler settings (continuous-
+    batching serving). Disable encodings: temp 0 → greedy row (argmax of the
+    raw logits), top_k 0 → no top-k, top_p >= 1 → no nucleus, min_p 0 → no
+    min-p. Semantics per row match ``sampling``/``filter_probs`` exactly
+    (same pivot-keep top-p shift, same min_tokens_to_keep = max(top_k, 1)
+    under min-p); with uniform rows the draws are bit-identical to the
+    scalar sampler (same categorical call)."""
+    b, v = logits.shape
+    temp = temp.astype(jnp.float32)
+    t_eff = jnp.where(temp > 0, temp, 1.0)[:, None]
+    probs = jax.nn.softmax(logits.astype(jnp.float32) / t_eff, axis=-1)
+
+    sort_idx = jnp.argsort(-probs, axis=-1)
+    sorted_probs = jnp.take_along_axis(probs, sort_idx, axis=-1)
+
+    # top-k: keep everything >= the row's k-th largest prob (k=0 → keep all).
+    # Under min-p the hard cut is OFF — top_k only sets min_tokens_to_keep,
+    # mirroring filter_probs' elif chain.
+    k_pos = jnp.clip(top_k - 1, 0, v - 1).astype(jnp.int32)[:, None]
+    kth = jnp.take_along_axis(sorted_probs, k_pos, axis=-1)
+    keep = jnp.where(((top_k > 0) & (min_p <= 0))[:, None], probs >= kth, True)
+
+    # top-p pivot-keep shift on the sorted order, mapped back
+    cum = jnp.cumsum(sorted_probs, axis=-1)
+    over = cum > top_p[:, None]
+    over = jnp.concatenate([jnp.zeros_like(over[..., :1]), over[..., :-1]], axis=-1)
+    inv_idx = jnp.argsort(sort_idx, axis=-1)
+    keep_p = ~jnp.take_along_axis(over, inv_idx, axis=-1)
+    keep &= jnp.where((top_p < 1.0)[:, None], keep_p, True)
+
+    # min-p: dynamic p_max-scaled threshold, always keeping the row's top
+    # max(top_k, 1) tokens (min_tokens_to_keep semantics of filter_probs)
+    p_max = jnp.max(probs, axis=-1, keepdims=True)
+    mtk_pos = jnp.clip(jnp.maximum(top_k, 1) - 1, 0, v - 1).astype(jnp.int32)[:, None]
+    mtk_th = jnp.take_along_axis(sorted_probs, mtk_pos, axis=-1)
+    keep_m = (probs >= min_p[:, None] * p_max) | (probs >= mtk_th)
+    keep &= jnp.where((min_p > 0)[:, None], keep_m, True)
+
+    probs = jnp.where(keep, probs, 0.0)
+    probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
+    sampled = jax.random.categorical(rng, jnp.log(probs), axis=-1).astype(jnp.int32)
+    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    return jnp.where(temp > 0, sampled, greedy)

@@ -244,3 +244,42 @@ def test_mha_packed_fallback_matches_sdpa():
     out = mha_packed(q, k, v, h)
     ref = merge_heads(sdpa(split_heads(q, h), split_heads(k, h), split_heads(v, h)))
     assert float(jnp.max(jnp.abs(out - ref))) < 1e-6
+
+
+def test_sampling_per_row_matches_scalar_and_mixes():
+    """sampling_per_row with UNIFORM rows draws bit-identical tokens to the
+    scalar sampler for every knob combo (same categorical call); with mixed
+    rows, temp=0 and top_k=1 rows are deterministic argmax."""
+    from llm_quest_tpu.ops.sampling import sampling_per_row
+
+    rng = jax.random.PRNGKey(0)
+    logits = jax.random.normal(jax.random.PRNGKey(1), (6, 50)) * 3
+
+    def rows(temp=0.0, top_k=0, top_p=2.0, min_p=0.0, b=6):
+        return dict(
+            temp=jnp.full((b,), temp, jnp.float32),
+            top_k=jnp.full((b,), top_k, jnp.int32),
+            top_p=jnp.full((b,), top_p, jnp.float32),
+            min_p=jnp.full((b,), min_p, jnp.float32),
+        )
+
+    combos = [
+        dict(temp=0.0), dict(temp=0.7), dict(temp=0.7, top_k=5),
+        dict(temp=1.1, top_p=0.8), dict(temp=1.1, top_k=8, top_p=0.8),
+        dict(temp=0.9, min_p=0.2), dict(temp=0.9, min_p=0.2, top_k=4),
+    ]
+    for kw in combos:
+        scalar = sampling(
+            rng, logits, temp=kw.get("temp", 0.0),
+            top_k=kw.get("top_k"), top_p=kw.get("top_p"), min_p=kw.get("min_p"),
+        )
+        perrow = sampling_per_row(rng, logits, **rows(**kw))
+        assert (np.asarray(scalar) == np.asarray(perrow)).all(), kw
+
+    mix = rows()
+    mix["temp"] = jnp.asarray([0.0, 0.8, 0.0, 1.2, 0.8, 0.0])
+    mix["top_k"] = jnp.asarray([0, 1, 0, 0, 20, 0], jnp.int32)
+    out = np.asarray(sampling_per_row(rng, logits, **mix))
+    am = np.asarray(jnp.argmax(logits, axis=-1))
+    assert out[0] == am[0] and out[2] == am[2] and out[5] == am[5]
+    assert out[1] == am[1]  # top_k=1 keeps only the argmax

@@ -895,3 +895,79 @@ def test_serving_multi_lora_with_prefix(params):
         max_gen=5, temp=0.0, eos_ids=-1, pad_id=0,
     )["sequences"][0, len(prefix) + len(suffixes[0]):].tolist()
     assert outs[3] == base_ref
+
+
+def test_serving_per_request_sampling(params):
+    """Per-request sampler settings in one pool: greedy (temp=0) and
+    top_k=1 requests are deterministic and must match the plain greedy
+    engine exactly, while stochastic requests (temp>0) in the SAME pool
+    produce valid tokens; mixing with multi-LoRA composes."""
+    rng = np.random.default_rng(23)
+    prompts = [rng.integers(1, 128, size=n).tolist() for n in (5, 7, 3, 6)]
+
+    engine = ContinuousBatchingEngine(
+        qwen3, params, CFG, n_slots=2, max_len=48, decode_chunk=3,
+        prefill_buckets=(8,), temp=0.9, top_k=20, eos_ids=-1, pad_id=0,
+        per_request_sampling=True,
+    )
+    rids = [
+        engine.submit(prompts[0], 6, temp=0.0),        # greedy override
+        engine.submit(prompts[1], 8),                   # engine default (stochastic)
+        engine.submit(prompts[2], 7, temp=0.8, top_k=1),  # top_k=1 → argmax
+        engine.submit(prompts[3], 5, temp=1.2, top_p=0.9, top_k=None),
+    ]
+    while engine.step():
+        pass
+    outs = [engine._requests[r].tokens for r in rids]
+    assert outs[0] == _reference_tokens(params, prompts[0], 6)
+    assert outs[2] == _reference_tokens(params, prompts[2], 7)
+    assert len(outs[1]) == 8 and all(0 <= t < 128 for t in outs[1])
+    assert len(outs[3]) == 5 and all(0 <= t < 128 for t in outs[3])
+
+    with pytest.raises(ValueError, match="per_request_sampling"):
+        ContinuousBatchingEngine(
+            qwen3, params, CFG, n_slots=1, max_len=48, prefill_buckets=(8,),
+            temp=0.0, eos_ids=-1, pad_id=0,
+        ).submit(prompts[0], 4, temp=0.5)
+    with pytest.raises(ValueError, match="top_p and min_p"):
+        engine.submit(prompts[0], 4, top_p=0.9, min_p=0.1)
+
+
+def test_serving_per_request_sampling_with_lora(params):
+    """Per-request sampling + multi-LoRA in one pool: a greedy request on
+    adapter 0 matches the plain engine on the adapter merged dense."""
+    from llm_quest_tpu.ops import lora as L
+
+    k = jax.random.PRNGKey(31)
+    tree = L.replace_with_lora(k, params, 4, 8, path_filter=lambda p: "att" in p)
+
+    def randomize(node):
+        if isinstance(node, dict):
+            if "lora" in node:
+                b = node["lora"]["B"]
+                noise = 0.2 * jax.random.normal(jax.random.fold_in(k, b.size), b.shape)
+                return {**node, "lora": {**node["lora"], "B": noise.astype(b.dtype)}}
+            return {kk: randomize(v) for kk, v in node.items()}
+        if isinstance(node, list):
+            return [randomize(v) for v in node]
+        return node
+
+    stacked = L.stack_adapters([randomize(tree)])
+    rng = np.random.default_rng(29)
+    p0, p1 = (rng.integers(1, 128, size=n).tolist() for n in (5, 6))
+
+    engine = ContinuousBatchingEngine(
+        qwen3, stacked, CFG, n_slots=2, max_len=48, decode_chunk=2,
+        prefill_buckets=(8,), temp=0.7, eos_ids=-1, pad_id=0,
+        per_request_sampling=True,
+    )
+    rids = [engine.submit(p0, 6, adapter=0, temp=0.0), engine.submit(p1, 5)]
+    while engine.step():
+        pass
+    merged = L.merge_adapter(stacked, 0)
+    ref = gen.generate_kv_cache(
+        qwen3, merged, CFG, jnp.asarray([p0], jnp.int32),
+        max_gen=6, temp=0.0, eos_ids=-1, pad_id=0,
+    )["sequences"][0, len(p0):].tolist()
+    assert engine._requests[rids[0]].tokens == ref
+    assert len(engine._requests[rids[1]].tokens) == 5
