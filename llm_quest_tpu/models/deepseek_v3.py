@@ -169,7 +169,22 @@ def _block(block, cfg, h, mask, cos, sin, cache, layer_idx, position_ids, attn_m
     if "ffn" in block:
         ffn_out = swiglu(block["ffn"], hn)
     else:
-        ffn_out, aux = moe_ops.deepseek_moe(block["moe"], hn, top_k=cfg["top_k"])
+        ep = cfg.get("expert_parallel")
+        if ep is not None:
+            # explicit EP: shared experts run locally on every token, routed
+            # experts dispatch via the 2-all_to_all pattern; aux "counts" are
+            # already psum'd GLOBAL (parallel/expert_parallel.py), so the
+            # aux-free bias fold sees the same totals as the dense path
+            from llm_quest_tpu.parallel.expert_parallel import ep_deepseek_moe
+
+            ffn_out, aux = ep_deepseek_moe(
+                ep["mesh"], block["moe"], hn, top_k=cfg["top_k"],
+                capacity_factor=ep.get("capacity_factor"),
+                ep_axis=ep.get("ep_axis", "model"),
+                data_axis=ep.get("data_axis", "data"),
+            )
+        else:
+            ffn_out, aux = moe_ops.deepseek_moe(block["moe"], hn, top_k=cfg["top_k"])
     return residual + ffn_out, cache, aux
 
 

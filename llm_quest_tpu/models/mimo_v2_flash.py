@@ -173,7 +173,20 @@ def _block(block, cfg, h, mask, cos, sin, cache, layer_idx, position_ids, *, swa
     hn = rms_norm_torch_parity(block["norm2"], h)
     aux = {}
     if "moe" in block:
-        ffn_out, aux = moe_ops.deepseek_moe(block["moe"], hn, top_k=cfg["top_k"])
+        ep = cfg.get("expert_parallel")
+        if ep is not None:
+            # explicit EP token dispatch (parallel/expert_parallel.py) —
+            # MiMo's all-MoE layers share DeepSeek's shared+routed+bias form
+            from llm_quest_tpu.parallel.expert_parallel import ep_deepseek_moe
+
+            ffn_out, aux = ep_deepseek_moe(
+                ep["mesh"], block["moe"], hn, top_k=cfg["top_k"],
+                capacity_factor=ep.get("capacity_factor"),
+                ep_axis=ep.get("ep_axis", "model"),
+                data_axis=ep.get("data_axis", "data"),
+            )
+        else:
+            ffn_out, aux = moe_ops.deepseek_moe(block["moe"], hn, top_k=cfg["top_k"])
     else:
         ffn_out = swiglu(block["ffn"], hn)
     return residual + ffn_out, cache, aux

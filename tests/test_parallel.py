@@ -641,3 +641,44 @@ def test_ep_deepseek_moe_matches_dense_dispatch(mesh8):
     assert float(jnp.max(jnp.abs(ref_out - got_out))) < 1e-5
     assert jnp.allclose(ref_aux["counts"], got_aux["counts"])
     assert abs(float(ref_aux["max_vio"]) - float(got_aux["max_vio"])) < 1e-6
+
+
+def test_ep_model_level_deepseek_and_mimo(mesh8):
+    """The EP seam is wired into EVERY DeepSeek-MoE consumer: deepseek_v3
+    and mimo_v2_flash forwards with cfg["expert_parallel"] match their
+    replicated forwards (shared experts local, routed experts through the
+    all-to-all dispatch, global counts identical for the bias fold)."""
+    from llm_quest_tpu.models import deepseek_v3, mimo_v2_flash
+
+    ds_cfg = {
+        "vocab_size": 128, "context_length": 32, "emb_dim": 32, "n_heads": 4,
+        "n_layers": 3, "hidden_dim": 64, "num_ffn": 1, "num_experts": 9,
+        "num_shared_experts": 1, "top_k": 2, "moe_scaling_factor": 1,
+        "moe_bias_update_rate": 1e-3, "mtp_depth": 0, "mtp_loss_coeff": 0.0,
+        "rope_base": 10_000, "q_rank": 32, "dtype": jnp.float32,
+    }
+    mm_cfg = {
+        "vocab_size": 128, "context_length": 32, "emb_dim": 32, "n_layers": 3,
+        "n_heads": 4, "num_swa_kv_groups": 2, "num_ga_kv_groups": 2,
+        "head_dim": 8, "value_head_dim": 8, "hidden_dim": 64, "window_size": 4,
+        "hybrid_ratio": 2, "rope_base": 10_000, "rope_base_ga": 640_000,
+        "partial_rope_factor": 0.5, "mtp_depth": 0, "mtp_loss_coeff": 0.0,
+        "num_experts": 9, "top_k": 2, "num_shared_experts": 1,
+        "moe_scaling_factor": 1, "moe_bias_update_rate": 1e-3,
+        "dtype": jnp.float32,
+    }
+    for model, cfg in ((deepseek_v3, ds_cfg), (mimo_v2_flash, mm_cfg)):
+        params = model.init(jax.random.PRNGKey(0), cfg)
+        ids = jax.random.randint(jax.random.PRNGKey(1), (8, 16), 0, 128)
+
+        ref_logits, _, ref_aux = model.apply(params, cfg, ids)
+
+        ep_cfg = dict(cfg, expert_parallel={"mesh": mesh8})
+        with mesh8:
+            got_logits, got_aux = jax.jit(
+                lambda p, t, m=model, c=ep_cfg: m.apply(p, c, t)[::2]
+            )(params, ids)
+
+        assert float(jnp.max(jnp.abs(ref_logits - got_logits))) < 2e-4, model.__name__
+        for rc, gc in zip(ref_aux["moe_counts"], got_aux["moe_counts"]):
+            assert jnp.array_equal(rc, gc), model.__name__
