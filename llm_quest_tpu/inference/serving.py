@@ -147,6 +147,7 @@ class _Request:
     ids: np.ndarray  # (prompt_len,) int32
     max_gen: int
     tokens: list = field(default_factory=list)
+    logprobs: list = field(default_factory=list)  # per committed token (when enabled)
     done: bool = False
     prefix: int | None = None  # registered prefix id (register_prefix)
     pixels: np.ndarray | None = None  # multimodal: image pixels for this prompt
@@ -341,7 +342,8 @@ def _admit_vlm_prefix_impl(model, _frozen, cfg, n_slots, max_len, cache_dtype, p
 
 
 def _decode_chunk_impl(model, _frozen, cfg, n_slots, max_len, decode_chunk,
-                       sample_kw, pad_id, params, state, eos_arr, row_sample=None):
+                       sample_kw, pad_id, params, state, eos_arr, row_sample=None,
+                       with_logprobs=False):
     if row_sample is None:
         sample = partial(sampling, **dict(sample_kw))
     else:
@@ -361,6 +363,12 @@ def _decode_chunk_impl(model, _frozen, cfg, n_slots, max_len, decode_chunk,
         rng, sub = jax.random.split(rng)
         sampled = sample(sub, last_logits)
         token = jnp.where(finished, pad_id, sampled)
+        # raw MODEL logprob of the committed token (pre-temperature/filters,
+        # the OpenAI-convention readout); bitcast to int32 so ONE packed
+        # host transfer still carries everything
+        lp = jnp.take_along_axis(
+            jax.nn.log_softmax(last_logits, axis=-1), token[:, None], axis=1
+        )[:, 0] if with_logprobs else None
         budget = budget - jnp.where(finished, 0, 1)
         finished = finished | _is_eos(token, eos_arr) | (budget <= 0)
         col = cache["pos"]  # (n,) — where this token's K/V will land
@@ -374,22 +382,25 @@ def _decode_chunk_impl(model, _frozen, cfg, n_slots, max_len, decode_chunk,
         )
         seqpos = seqpos + 1
         carry = (cache, mask_buf, logits[:, 0].astype(jnp.float32), seqpos, finished, budget, rng)
-        return carry, token
+        ys = (token,) if lp is None else (token, lax.bitcast_convert_type(lp, jnp.int32))
+        return carry, ys
 
     init = (
         state["cache"], state["mask_buf"], state["last_logits"],
         state["seqpos"], state["finished"], state["budget"], state["rng"],
     )
-    (cache, mask_buf, last_logits, seqpos, finished, budget, rng), tokens = lax.scan(
+    (cache, mask_buf, last_logits, seqpos, finished, budget, rng), ys = lax.scan(
         step, init, None, length=decode_chunk
     )
     new_state = {
         "cache": cache, "mask_buf": mask_buf, "last_logits": last_logits,
         "seqpos": seqpos, "finished": finished, "budget": budget, "rng": rng,
     }
-    # ONE packed host transfer per chunk: tokens + the finished column
-    packed = jnp.concatenate([tokens.T, finished[:, None].astype(jnp.int32)], axis=1)
-    return new_state, packed  # (n_slots, chunk + 1)
+    # ONE packed host transfer per chunk: tokens (+ bitcast logprobs) + the
+    # finished column
+    cols = [y.T for y in ys] + [finished[:, None].astype(jnp.int32)]
+    packed = jnp.concatenate(cols, axis=1)
+    return new_state, packed  # (n_slots, chunk·(1 or 2) + 1)
 
 
 def _admit_chunked_impl(model, _frozen, cfg, n_slots, max_len, cache_dtype,
@@ -476,14 +487,14 @@ def _admit_prefix_lora_impl(model, _frozen, cfg, n_slots, max_len, cache_dtype, 
 
 def _decode_lora_chunk_impl(model, _frozen, cfg, n_slots, max_len, decode_chunk,
                             sample_kw, pad_id, params, state, eos_arr, slot_adapters,
-                            row_sample=None):
+                            row_sample=None, with_logprobs=False):
     """_decode_chunk_impl with per-slot multi-LoRA: every slot decodes
     through ITS request's adapter, selected once for the whole chunk."""
     from llm_quest_tpu.ops.lora import select_adapter
 
     return _decode_chunk_impl(model, _frozen, cfg, n_slots, max_len, decode_chunk,
                               sample_kw, pad_id, select_adapter(params, slot_adapters),
-                              state, eos_arr, row_sample)
+                              state, eos_arr, row_sample, with_logprobs)
 
 
 def _admit_spec_prefix_impl(model, draft_model, _frozen, cfg, dcfg, n_slots,
@@ -753,6 +764,7 @@ class ContinuousBatchingEngine:
         pipeline_depth=2, mesh=None, param_rules=None,
         draft_model=None, draft_params=None, draft_cfg=None, gamma=4,
         draft_param_rules=None, prefill_chunk=None, per_request_sampling=False,
+        return_logprobs=False,
     ):
         self._spec = draft_model is not None
         if self._spec:
@@ -810,6 +822,11 @@ class ContinuousBatchingEngine:
         self._row_sampling = per_request_sampling
         if per_request_sampling and draft_model is not None:
             raise ValueError("per-request sampling does not compose with speculative serving yet")
+        # per-token logprobs of committed tokens (raw model log-softmax, the
+        # OpenAI convention) — read back via request_logprobs(rid)
+        self._logprobs = return_logprobs
+        if return_logprobs and draft_model is not None:
+            raise ValueError("return_logprobs does not compose with speculative serving yet")
         self._default_sample = np.asarray(
             [temp, top_k or 0, 2.0 if top_p is None else top_p, min_p or 0.0],
             np.float32,
@@ -888,6 +905,7 @@ class ContinuousBatchingEngine:
         decode_key = cfg_key + (
             "decode", decode_chunk, _freeze(self.sample_kw), pad_id,
             "rowsample" if self._row_sampling else None,
+            "logprobs" if self._logprobs else None,
         )
         if decode_key not in _SERVE_JIT_CACHE:
             if self._spec:
@@ -906,6 +924,7 @@ class ContinuousBatchingEngine:
                         _decode_lora_chunk_impl if self._lora_n else _decode_chunk_impl,
                         model, _freeze(cfg), cfg, n_slots,
                         max_len, decode_chunk, tuple(sorted(self.sample_kw.items())), pad_id,
+                        with_logprobs=self._logprobs,
                     ),
                     donate_argnums=(1,),
                     out_shardings=None if mesh is None else (
@@ -1317,10 +1336,16 @@ class ContinuousBatchingEngine:
         handle, smap = self._inflight.popleft()
         packed = np.asarray(handle)  # ONE transfer per chunk
         now = time.monotonic()
+        lps = None
         if self._spec:
             W, g1 = self.decode_chunk, self.gamma + 1
             toks = packed[:, : W * g1].reshape(-1, W, g1)
             counts = packed[:, W * g1 : W * g1 + W]
+            finished = packed[:, -1].astype(bool)
+        elif self._logprobs:
+            W = self.decode_chunk
+            toks = packed[:, :W]
+            lps = np.ascontiguousarray(packed[:, W : 2 * W]).view(np.float32)
             finished = packed[:, -1].astype(bool)
         else:
             toks, finished = packed[:, :-1], packed[:, -1].astype(bool)
@@ -1334,6 +1359,8 @@ class ContinuousBatchingEngine:
             else:
                 take = min(self.decode_chunk, req.max_gen - len(req.tokens))
                 req.tokens.extend(int(t) for t in toks[slot, :take])
+                if lps is not None:
+                    req.logprobs.extend(float(v) for v in lps[slot, :take])
             if req.tokens and req.t_first == 0.0:
                 # drain-time stamp: includes pipeline lag (depth-1 = true TTFT)
                 req.t_first = now
@@ -1390,6 +1417,15 @@ class ContinuousBatchingEngine:
             self._drain_one()
             return True
         return bool(self._queue)
+
+    def request_logprobs(self, rid):
+        """Per-token logprobs of request ``rid``'s committed tokens (raw
+        model log-softmax; engine built with return_logprobs=True), aligned
+        with its token list (post-EOS trimming applies to both)."""
+        if not self._logprobs:
+            raise ValueError("engine was not built with return_logprobs=True")
+        req = self._requests[rid]
+        return req.logprobs[: len(req.tokens)]
 
     def stats(self):
         """Serving observability (host-side, no device traffic): request

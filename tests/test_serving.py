@@ -971,3 +971,32 @@ def test_serving_per_request_sampling_with_lora(params):
     )["sequences"][0, len(p0):].tolist()
     assert engine._requests[rids[0]].tokens == ref
     assert len(engine._requests[rids[1]].tokens) == 5
+
+
+def test_serving_returns_logprobs(params):
+    """return_logprobs=True: each request's per-token logprobs equal the
+    teacher-forced log-softmax of the model over prompt+generation (raw
+    model distribution, OpenAI convention), aligned with its tokens."""
+    rng = np.random.default_rng(41)
+    prompts = [rng.integers(1, 128, size=n).tolist() for n in (5, 7, 3)]
+    gens = [6, 4, 8]
+
+    engine = ContinuousBatchingEngine(
+        qwen3, params, CFG, n_slots=2, max_len=48, decode_chunk=3,
+        prefill_buckets=(8,), temp=0.0, eos_ids=-1, pad_id=0,
+        return_logprobs=True,
+    )
+    rids = [engine.submit(p, g) for p, g in zip(prompts, gens)]
+    while engine.step():
+        pass
+    for p, g, rid in zip(prompts, gens, rids):
+        toks = engine._requests[rid].tokens
+        assert toks == _reference_tokens(params, p, g)
+        lps = engine.request_logprobs(rid)
+        assert len(lps) == g
+        full = jnp.asarray([p + toks], jnp.int32)
+        logits, _, _ = qwen3.apply(params, CFG, full)
+        ref_lp = jax.nn.log_softmax(logits[0].astype(jnp.float32), axis=-1)
+        for i, (t, lp) in enumerate(zip(toks, lps)):
+            want = float(ref_lp[len(p) - 1 + i, t])
+            assert abs(lp - want) < 2e-4, (i, lp, want)
