@@ -1000,3 +1000,45 @@ def test_serving_returns_logprobs(params):
         for i, (t, lp) in enumerate(zip(toks, lps)):
             want = float(ref_lp[len(p) - 1 + i, t])
             assert abs(lp - want) < 2e-4, (i, lp, want)
+
+
+def test_serving_moe_model_on_mesh():
+    """A MoE model serves sharded: expert stacks distribute over "model"
+    (the implicit weights-sharded EP path), slots over "data"; greedy
+    tokens identical to the single-device engine."""
+    from llm_quest_tpu.parallel import create_mesh, sharding_rules_llama
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 devices")
+    mesh = create_mesh(8, model_parallel=2)
+
+    cfg = {
+        "model_type": "moe", "vocab_size": 128, "context_length": 64,
+        "emb_dim": 32, "n_layers": 2, "n_heads": 4, "num_kv_groups": 2,
+        "head_dim": 8, "moe_hidden_dim": 64, "num_experts": 8, "top_k": 2,
+        "aux_loss_coef": 0.001, "rope_base": 10_000, "tie_embeddings": False,
+        "dtype": jnp.float32,
+    }
+    params = qwen3.init(jax.random.PRNGKey(2), cfg)
+    rng = np.random.default_rng(37)
+    prompts = [rng.integers(1, 128, size=n).tolist() for n in (4, 7, 3, 6, 5)]
+    gens = [6, 5, 8, 4, 7]
+
+    def ref(ids, mg):
+        return gen.generate_kv_cache(
+            qwen3, params, cfg, jnp.asarray([ids], jnp.int32),
+            max_gen=mg, temp=0.0, eos_ids=-1, pad_id=0,
+        )["sequences"][0, len(ids):].tolist()
+
+    engine = ContinuousBatchingEngine(
+        qwen3, params, cfg, n_slots=4, max_len=48, decode_chunk=3,
+        prefill_buckets=(8,), temp=0.0, eos_ids=-1, pad_id=0,
+        mesh=mesh, param_rules=sharding_rules_llama,
+    )
+    # expert stacks genuinely sharded over the expert dim
+    lin1 = engine.params["blocks"][0]["moe"]["experts"]["lin1"]
+    assert tuple(lin1.sharding.spec)[0] == "model", lin1.sharding.spec
+
+    outs = engine.serve(list(zip(prompts, gens)))
+    for ids, mg, got in zip(prompts, gens, outs):
+        assert got == ref(ids, mg), (ids, got)
