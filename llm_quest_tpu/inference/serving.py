@@ -811,6 +811,21 @@ class ContinuousBatchingEngine:
 
                     draft_params = shard_params(draft_params, mesh, draft_param_rules)
         self.mesh = mesh
+        # EXPLICIT expert parallelism in serving: cfg["expert_parallel"]
+        # routes the MoE layers through the all-to-all token dispatch
+        # (parallel/expert_parallel.py) inside the admit/decode programs.
+        # Its shard_map requires the batch to divide over data×ep devices,
+        # so admit waves pad up to that multiple (extra rows repeat the last
+        # request's slot — order-independent duplicate writes, no extra
+        # compute class) and n_slots must divide evenly.
+        self._wave_multiple = None
+        ep = (cfg or {}).get("expert_parallel")
+        if ep is not None:
+            epm = ep["mesh"]
+            n_all = epm.shape[ep.get("data_axis", "data")] * epm.shape[ep.get("ep_axis", "model")]
+            if n_slots % n_all:
+                raise ValueError(f"n_slots {n_slots} must divide over {n_all} EP devices")
+            self._wave_multiple = n_all
         self.model, self.params, self.cfg = model, params, cfg
         self.n_slots, self.max_len = n_slots, max_len
         self.decode_chunk = decode_chunk
@@ -968,6 +983,8 @@ class ContinuousBatchingEngine:
         while k <= top:
             ks.append(k)
             k <<= 1
+        if self._wave_multiple:  # EP waves never go below the device multiple
+            ks = sorted({max(k, self._wave_multiple) for k in ks})
         scratch = jax.tree.map(jnp.copy, self.state)
         for lb in self.buckets:
             for k in ks:
@@ -1133,6 +1150,8 @@ class ContinuousBatchingEngine:
         bit-identical results)."""
         lb = max(self._bucket_len(len(r.ids)) for r in reqs)
         k = 1 << (len(reqs) - 1).bit_length()  # next pow2 ≥ len(reqs)
+        if self._wave_multiple:
+            k = max(k, self._wave_multiple)  # explicit-EP shard_map divisibility
         prompt = np.full((k, lb), self.pad_id, np.int32)
         pmask = np.zeros((k, lb), bool)
         slot_idx = np.empty((k,), np.int32)
@@ -1169,6 +1188,8 @@ class ContinuousBatchingEngine:
         lb = max(self._bucket_len(len(r.ids)) for r in reqs)
         n_chunks = lb // ck
         k = 1 << (len(reqs) - 1).bit_length()
+        if self._wave_multiple:
+            k = max(k, self._wave_multiple)  # explicit-EP shard_map divisibility
         prompt = np.full((k, lb), self.pad_id, np.int32)
         pmask = np.zeros((k, lb), bool)
         slot_idx = np.empty((k,), np.int32)
@@ -1201,6 +1222,8 @@ class ContinuousBatchingEngine:
         pcache, plen = self._prefixes[pid][:2]
         lb = max(self._bucket_len(len(r.ids)) for r in reqs)
         k = 1 << (len(reqs) - 1).bit_length()
+        if self._wave_multiple:
+            k = max(k, self._wave_multiple)  # explicit-EP shard_map divisibility
         prompt = np.full((k, lb), self.pad_id, np.int32)
         pmask = np.zeros((k, lb), bool)
         slot_idx = np.empty((k,), np.int32)
@@ -1267,6 +1290,8 @@ class ContinuousBatchingEngine:
         pcache, plen = self._prefixes[pid][:2] if pid is not None else (None, 0)
         lb = max(self._bucket_len(len(r.ids)) for r in reqs)
         k = 1 << (len(reqs) - 1).bit_length()
+        if self._wave_multiple:
+            k = max(k, self._wave_multiple)  # explicit-EP shard_map divisibility
         pshape = reqs[0].pixels.shape
         assert all(r.pixels.shape == pshape for r in reqs), "mixed image shapes in one wave"
         prompt = np.full((k, lb), self.pad_id, np.int32)

@@ -1042,3 +1042,50 @@ def test_serving_moe_model_on_mesh():
     outs = engine.serve(list(zip(prompts, gens)))
     for ids, mg, got in zip(prompts, gens, outs):
         assert got == ref(ids, mg), (ids, got)
+
+
+def test_serving_moe_explicit_ep_on_mesh():
+    """EXPLICIT expert parallelism in the production decode path: the
+    engine serves a MoE model with cfg["expert_parallel"] — every admit
+    and decode program dispatches tokens to expert shards via the
+    2-all-to-all pattern (waves pad to the device multiple) — with greedy
+    tokens identical to the single-device dense-dispatch engine."""
+    from llm_quest_tpu.parallel import create_mesh, sharding_rules_llama
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 devices")
+    mesh = create_mesh(8, model_parallel=2)
+
+    cfg = {
+        "model_type": "moe", "vocab_size": 128, "context_length": 64,
+        "emb_dim": 32, "n_layers": 2, "n_heads": 4, "num_kv_groups": 2,
+        "head_dim": 8, "moe_hidden_dim": 64, "num_experts": 8, "top_k": 2,
+        "aux_loss_coef": 0.001, "rope_base": 10_000, "tie_embeddings": False,
+        "dtype": jnp.float32,
+    }
+    params = qwen3.init(jax.random.PRNGKey(2), cfg)
+    rng = np.random.default_rng(43)
+    prompts = [rng.integers(1, 128, size=n).tolist() for n in (4, 7, 3, 6, 5)]
+    gens = [6, 5, 8, 4, 7]
+
+    def ref(ids, mg):
+        return gen.generate_kv_cache(
+            qwen3, params, cfg, jnp.asarray([ids], jnp.int32),
+            max_gen=mg, temp=0.0, eos_ids=-1, pad_id=0,
+        )["sequences"][0, len(ids):].tolist()
+
+    ep_cfg = dict(cfg, expert_parallel={"mesh": mesh})
+    engine = ContinuousBatchingEngine(
+        qwen3, params, ep_cfg, n_slots=8, max_len=48, decode_chunk=3,
+        prefill_buckets=(8,), temp=0.0, eos_ids=-1, pad_id=0,
+        mesh=mesh, param_rules=sharding_rules_llama,
+    )
+    outs = engine.serve(list(zip(prompts, gens)))
+    for ids, mg, got in zip(prompts, gens, outs):
+        assert got == ref(ids, mg), (ids, got)
+
+    with pytest.raises(ValueError, match="divide over"):
+        ContinuousBatchingEngine(
+            qwen3, params, ep_cfg, n_slots=4, max_len=48,
+            prefill_buckets=(8,), temp=0.0, eos_ids=-1, pad_id=0, mesh=mesh,
+        )
