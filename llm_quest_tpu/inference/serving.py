@@ -64,6 +64,20 @@ LOSSLESS: greedy tokens equal the plain engine's exactly
 draft commits γ+1 tokens per window
 (::test_serving_speculative_self_draft_accepts_everything).
 
+Multi-LoRA serving: stacked adapters in the params tree
+(ops/lora.py::stack_adapters) are auto-detected; ``submit(adapter=j)``
+routes each request through its adapter via a per-row index gather inside
+the SAME compiled programs, adapters mix freely in one pool, and
+``register_prefix(adapter=j)`` bakes an adapter into a stored prefix row.
+Per-request sampling (``per_request_sampling=True``): submit() overrides
+temp/top-k/top-p/min-p per request (ops/sampling.py::sampling_per_row) —
+greedy and stochastic traffic share one decode program. Per-token
+logprobs (``return_logprobs=True``): raw model log-softmax of committed
+tokens rides the same packed transfer; ``request_logprobs(rid)``.
+Explicit expert parallelism: ``cfg["expert_parallel"]`` dispatches MoE
+tokens to expert shards via all-to-all inside admit and decode (waves pad
+to the device multiple).
+
 Reference: the closest thing upstream is the left-pad batched loop
 (generate.py:360-469), which cannot admit mid-flight, and the b=1
 speculative engine (speculative_decoding/spec_decoding_engine.py) this
@@ -1442,6 +1456,27 @@ class ContinuousBatchingEngine:
             self._drain_one()
             return True
         return bool(self._queue)
+
+    def cancel(self, rid):
+        """Cancel request ``rid``: a queued request never admits; a resident
+        one retires host-side — its slot frees for the next admit wave and
+        any tokens from already-dispatched chunks are dropped. (The device
+        keeps decoding the row until the slot is overwritten — retirement
+        is a host decision, no device control write.) Returns True if the
+        request was still live."""
+        req = self._requests.get(rid)
+        if req is None or req.done:
+            return False
+        try:
+            self._queue.remove(req)
+        except ValueError:
+            pass  # already admitted (or in flight) — free its slot below
+        req.done = True
+        req.t_done = time.monotonic()
+        for slot, r in enumerate(self._slot_req):
+            if r is req:
+                self._slot_req[slot] = None
+        return True
 
     def request_logprobs(self, rid):
         """Per-token logprobs of request ``rid``'s committed tokens (raw

@@ -1089,3 +1089,27 @@ def test_serving_moe_explicit_ep_on_mesh():
             qwen3, params, ep_cfg, n_slots=4, max_len=48,
             prefill_buckets=(8,), temp=0.0, eos_ids=-1, pad_id=0, mesh=mesh,
         )
+
+
+def test_serving_cancel(params):
+    """cancel(rid): queued requests never admit; resident ones free their
+    slot for the next wave; surviving requests still produce exact tokens."""
+    rng = np.random.default_rng(47)
+    prompts = [rng.integers(1, 128, size=n).tolist() for n in (5, 6, 4, 7)]
+
+    engine = ContinuousBatchingEngine(
+        qwen3, params, CFG, n_slots=2, max_len=48, decode_chunk=2,
+        prefill_buckets=(8,), temp=0.0, eos_ids=-1, pad_id=0, pipeline_depth=1,
+    )
+    rids = [engine.submit(p, 10) for p in prompts]
+    engine.step()  # admits rids[0], rids[1]; rids[2], rids[3] queued
+    assert engine.cancel(rids[2])      # still queued — never admits
+    engine.step()
+    assert engine.cancel(rids[1])      # resident — slot frees for rids[3]
+    assert not engine.cancel(rids[1])  # idempotent
+    while engine.step():
+        pass
+    assert engine._requests[rids[0]].tokens == _reference_tokens(params, prompts[0], 10)
+    assert engine._requests[rids[3]].tokens == _reference_tokens(params, prompts[3], 10)
+    assert engine._requests[rids[2]].tokens == []
+    assert len(engine._requests[rids[1]].tokens) < 10  # cut short mid-flight
