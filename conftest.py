@@ -16,6 +16,26 @@ import os
 import sys
 
 
+def _host_cache_dir() -> str:
+    """Compile-cache dir fingerprinted by the HOST CPU (flags + machine):
+    persisted XLA:CPU AOT executables are feature-set-specific but their
+    cache key is not, so sharing a dir across hosts can SIGILL on load."""
+    import hashlib
+    import platform
+
+    tag = platform.machine()
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    tag += line
+                    break
+    except OSError:
+        pass
+    fp = hashlib.sha256(tag.encode()).hexdigest()[:12]
+    return os.path.expanduser(f"~/.cache/llm_quest_jax_{fp}")
+
+
 def _needs_cpu_reexec() -> bool:
     if os.environ.get("RUN_TPU_TESTS") == "1":
         return False
@@ -31,10 +51,15 @@ def pytest_configure(config):
         # persistent compilation cache: the suite is compile-bound (hundreds
         # of one-off jit programs on the virtual CPU mesh); warm reruns skip
         # most of that. Harmless on cache miss, keyed on jaxlib version.
+        # The dir is HOST-FINGERPRINTED: "enable_xla_caches=all" persists
+        # XLA:CPU AOT executables whose cache key ignores host CPU features,
+        # and loading one compiled on a different machine can SIGILL/segfault
+        # (observed: a full-matrix run died deserializing an entry built on a
+        # host with different avx/amx flags).
         try:
             import jax
 
-            jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/llm_quest_jax"))
+            jax.config.update("jax_compilation_cache_dir", _host_cache_dir())
             jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
             jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
         except Exception:
