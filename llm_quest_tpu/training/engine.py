@@ -219,6 +219,8 @@ def training_eval_loop(
     classification=False,
     log=print,
     timing=False,
+    checkpoint_every=None,
+    checkpoint_path=None,
 ):
     """Full training loop with LR schedule, grad accumulation, clipping and
     periodic evaluation (reference: engine.py:377-466; the ``timing`` flag adds
@@ -226,6 +228,11 @@ def training_eval_loop(
 
     train_loader / val_loader: iterables (re-iterable) of dict batches with
     "input_ids", "targets", optional "attn_mask" — device arrays or numpy.
+
+    checkpoint_every / checkpoint_path: every N optimizer steps, schedule an
+    ASYNC save of (params, opt_state, step) to checkpoint_path (the loop
+    never blocks on disk — training/checkpointing.py snapshot semantics);
+    the final save at loop end is awaited, so the returned path is durable.
 
     Returns (params, train_losses, val_losses).
     """
@@ -274,5 +281,17 @@ def training_eval_loop(
                         elapsed = time.time() - t0
                         msg += f"  | tok/s: {tokens_seen / max(elapsed, 1e-9):.0f}"
                     log(msg)
+                if checkpoint_every and step % checkpoint_every == 0:
+                    from llm_quest_tpu.training.checkpointing import save_checkpoint
 
+                    save_checkpoint(checkpoint_path, params, opt_state=opt_state,
+                                    step=step, blocking=False)
+
+    if checkpoint_every:
+        from llm_quest_tpu.training.checkpointing import (
+            save_checkpoint, wait_for_saves)
+
+        save_checkpoint(checkpoint_path, params, opt_state=opt_state,
+                        step=step, blocking=False)
+        wait_for_saves()
     return params, train_losses, val_losses

@@ -157,3 +157,36 @@ def test_fused_head_ce_train_step_matches_plain():
     assert abs(float(l1) - float(l2)) < 1e-5
     diffs = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()), p1, p2)
     assert max(jax.tree.leaves(diffs)) < 1e-4  # Adam amplifies fp32 summation-order noise
+
+
+@pytest.mark.slow
+def test_training_loop_async_checkpoints(tmp_path):
+    """checkpoint_every: the loop schedules async saves and the final state
+    restores bit-exact (params AND optimizer state), resumable at `step`."""
+    import numpy as np
+
+    from llm_quest_tpu.training.checkpointing import load_checkpoint
+
+    import jax
+    import jax.numpy as jnp
+
+    cfg = dict(CFG)
+    params = gpt2.init(jax.random.PRNGKey(0), cfg)
+    data = [
+        {"input_ids": np.full((2, 8), i % 60, np.int32),
+         "targets": np.full((2, 8), (i + 1) % 60, np.int32)}
+        for i in range(6)
+    ]
+    path = str(tmp_path / "loop_ckpt")
+    out_params, tr, va = engine.training_eval_loop(
+        gpt2, cfg, params, data, data[:2], num_epoch=1, eval_freq=100,
+        eval_iter=1, checkpoint_every=2, checkpoint_path=path,
+    )
+    restored = load_checkpoint(path)
+    diffs = jax.tree.map(
+        lambda a, b: float(jnp.max(jnp.abs(jnp.asarray(a) - jnp.asarray(b)))),
+        restored["params"], out_params,
+    )
+    assert max(jax.tree.leaves(diffs)) == 0.0
+    assert int(restored["step"]) == 6
+    assert "opt_state" in restored
