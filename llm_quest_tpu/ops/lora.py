@@ -26,9 +26,9 @@ import numpy as np
 
 
 def init_lora(key, linear_params, r, alpha, *, dtype=None):
-    """Classic LoRA sub-dict for a linear {"w": (d, k)}."""
-    w = linear_params["w"]
-    dtype = dtype or w.dtype
+    """Classic LoRA sub-dict for a linear {"w": (d, k)} (or int8 {"w_q"})."""
+    w = linear_params["w"] if "w" in linear_params else linear_params["w_q"]
+    dtype = dtype or (w.dtype if "w" in linear_params else linear_params["w_scale"].dtype)
     d, k = w.shape
     return {
         "A": (0.02 * jax.random.normal(key, (d, r))).astype(dtype),
@@ -39,7 +39,7 @@ def init_lora(key, linear_params, r, alpha, *, dtype=None):
 
 def init_lora_xs(key, linear_params, r, alpha, *, dtype=None):
     """LoRA-XS: frozen truncated-SVD A/B, trainable R."""
-    w = linear_params["w"]
+    w = _dense_weight(linear_params)
     dtype = dtype or w.dtype
     u, s, vt = np.linalg.svd(np.asarray(w, np.float32), full_matrices=False)
     return {
@@ -53,7 +53,7 @@ def init_lora_xs(key, linear_params, r, alpha, *, dtype=None):
 def init_tiny_lora(key, linear_params, r, alpha, *, num_trainable_params=13, shared_v=False, dtype=None):
     """TinyLoRA: frozen SVD A/B + fixed P; trainable v (absent when tied —
     inject via inject_shared_v before apply)."""
-    w = linear_params["w"]
+    w = _dense_weight(linear_params)
     dtype = dtype or w.dtype
     u, s, vt = np.linalg.svd(np.asarray(w, np.float32), full_matrices=False)
     params = {
@@ -97,7 +97,24 @@ def lora_delta(lora, x):
 
 
 def _is_linear(node):
-    return isinstance(node, dict) and "w" in node and hasattr(node["w"], "ndim") and node["w"].ndim == 2
+    if not isinstance(node, dict):
+        return False
+    if "w" in node and hasattr(node["w"], "ndim") and node["w"].ndim == 2:
+        return True
+    # weight-only int8 linears (ops/quantization.py): {"w_q", "w_scale"} —
+    # the LoRA delta is dtype-independent of the base matmul, so adapters
+    # wrap quantized checkpoints too (the common serving deployment)
+    return "w_q" in node and hasattr(node["w_q"], "ndim") and node["w_q"].ndim == 2
+
+
+def _dense_weight(linear_params):
+    """The (in, out) fp32 weight of a plain or int8-quantized linear —
+    LoRA-XS/Tiny need it for their SVD init."""
+    if "w" in linear_params:
+        return linear_params["w"]
+    from llm_quest_tpu.ops.quantization import dequantize_int8
+
+    return dequantize_int8(linear_params["w_q"], linear_params["w_scale"])
 
 
 def replace_with_lora(key, params, rank, alpha, *, variant="lora", path_filter=None, **kw):
@@ -291,8 +308,14 @@ def merge_adapter(params, j):
     def walk(node):
         if isinstance(node, dict):
             if "lora" in node and getattr(node["lora"].get("A"), "ndim", 0) == 3:
-                rest = {k: v for k, v in node.items() if k != "lora"}
-                return {**walk(rest), "w": node["w"] + update(node["lora"])}
+                rest = {k: v for k, v in node.items()
+                        if k not in ("lora", "w", "w_q", "w_scale")}
+                u = update(node["lora"])
+                # int8 base merges DENSE (dequant + update, fp32): the merged
+                # form is the parity oracle / deployment convenience, not a
+                # round-trip back to int8
+                base = _dense_weight(node)
+                return {**walk(rest), "w": (base + u.astype(base.dtype)).astype(base.dtype)}
             return {k: walk(v) for k, v in node.items()}
         if isinstance(node, list):
             return [walk(v) for v in node]

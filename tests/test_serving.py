@@ -1113,3 +1113,50 @@ def test_serving_cancel(params):
     assert engine._requests[rids[3]].tokens == _reference_tokens(params, prompts[3], 10)
     assert engine._requests[rids[2]].tokens == []
     assert len(engine._requests[rids[1]].tokens) < 10  # cut short mid-flight
+
+
+def test_serving_multi_lora_over_int8_base(params):
+    """Multi-LoRA over a weight-only INT8 base checkpoint (the standard
+    production deployment): replace_with_lora wraps quantized linears, the
+    per-row delta rides on the int8 matmul, and greedy tokens equal the
+    plain engine on the adapter dense-merged over the DEQUANTIZED base."""
+    from llm_quest_tpu.ops import lora as L
+    from llm_quest_tpu.ops.quantization import quantize_params_int8
+
+    qparams = quantize_params_int8(params, min_size=0)
+    k = jax.random.PRNGKey(51)
+    tree = L.replace_with_lora(k, qparams, 4, 8, path_filter=lambda p: "att" in p)
+
+    def randomize(node):
+        if isinstance(node, dict):
+            if "lora" in node:
+                b = node["lora"]["B"]
+                noise = 0.2 * jax.random.normal(jax.random.fold_in(k, b.size), b.shape)
+                return {**node, "lora": {**node["lora"], "B": noise.astype(b.dtype)}}
+            return {kk: randomize(v) for kk, v in node.items()}
+        if isinstance(node, list):
+            return [randomize(v) for v in node]
+        return node
+
+    stacked = L.stack_adapters([randomize(tree)])
+    assert L.num_adapters(stacked) == 2  # the quantized att linears DID wrap
+
+    rng = np.random.default_rng(53)
+    p0, p1 = (rng.integers(1, 128, size=n).tolist() for n in (5, 6))
+    engine = ContinuousBatchingEngine(
+        qwen3, stacked, CFG, n_slots=2, max_len=48, decode_chunk=2,
+        prefill_buckets=(8,), temp=0.0, eos_ids=-1, pad_id=0,
+    )
+    outs = engine.serve([(p0, 6, None, None, 0), (p1, 5)])
+
+    merged = L.merge_adapter(stacked, 0)  # dense fp32 over dequantized base
+    ref0 = gen.generate_kv_cache(
+        qwen3, merged, CFG, jnp.asarray([p0], jnp.int32),
+        max_gen=6, temp=0.0, eos_ids=-1, pad_id=0,
+    )["sequences"][0, len(p0):].tolist()
+    ref1 = gen.generate_kv_cache(
+        qwen3, L.merge_adapter(stacked, 1), CFG, jnp.asarray([p1], jnp.int32),
+        max_gen=5, temp=0.0, eos_ids=-1, pad_id=0,
+    )["sequences"][0, len(p1):].tolist()
+    assert outs[0] == ref0
+    assert outs[1] == ref1  # null adapter == dequantized base
