@@ -476,6 +476,18 @@ def _admit_lora_impl(model, _frozen, cfg, n_slots, max_len, cache_dtype,
                        pmasks, slots, budgets)
 
 
+def _admit_chunked_lora_impl(model, _frozen, cfg, n_slots, max_len, cache_dtype,
+                             n_chunks, chunk, params, state, prompts, pmasks,
+                             slots, budgets, adapters):
+    """_admit_chunked_impl with per-row multi-LoRA (long adapter prompts
+    prefill through their adapters chunk by chunk)."""
+    from llm_quest_tpu.ops.lora import select_adapter
+
+    return _admit_chunked_impl(model, _frozen, cfg, n_slots, max_len, cache_dtype,
+                               n_chunks, chunk, select_adapter(params, adapters),
+                               state, prompts, pmasks, slots, budgets)
+
+
 def _prefix_lora_impl(model, _frozen, cfg, max_len, cache_dtype, plen,
                       params, ids, adapter_idx):
     """_prefix_impl under a stacked adapter: the b=1 prefix row prefills
@@ -1116,8 +1128,6 @@ class ContinuousBatchingEngine:
             # stacked params would reach linear() without an idx
             if pixels is not None:
                 raise ValueError("multi-LoRA engines do not serve multimodal requests yet")
-            if len(np.asarray(ids).reshape(-1)) > self.buckets[-1]:
-                raise ValueError("multi-LoRA engines do not serve chunked-prefill prompts yet")
         if self._lora_n and prefix is not None and adapter != self._prefix_adapter[prefix]:
             raise ValueError(
                 f"request adapter {adapter} != adapter {self._prefix_adapter[prefix]} "
@@ -1215,18 +1225,28 @@ class ContinuousBatchingEngine:
             slot_idx[j] = slots[min(j, len(reqs) - 1)]
             budgets[j] = r.max_gen
         key = (id(self.model), _freeze(self.cfg), self.n_slots, self.max_len,
-               str(self.cache_dtype), self.mesh, "admit_chunked", n_chunks, ck)
+               str(self.cache_dtype), self.mesh, "admit_chunked", n_chunks, ck,
+               "mlora" if self._lora_n else None)
         if key not in _SERVE_JIT_CACHE:
             _SERVE_JIT_CACHE[key] = jax.jit(
-                partial(_admit_chunked_impl, self.model, _freeze(self.cfg), self.cfg,
+                partial(_admit_chunked_lora_impl if self._lora_n else _admit_chunked_impl,
+                        self.model, _freeze(self.cfg), self.cfg,
                         self.n_slots, self.max_len, self.cache_dtype, n_chunks, ck),
                 donate_argnums=(1,),
                 out_shardings=self._state_shardings,
             )
-        self.state = _SERVE_JIT_CACHE[key](
+        args = (
             self.params, self.state, jnp.asarray(prompt), jnp.asarray(pmask),
             jnp.asarray(slot_idx), jnp.asarray(budgets),
         )
+        if self._lora_n:
+            null = self._lora_n - 1
+            adapters = np.full((k,), null, np.int32)
+            for j in range(k):
+                r = reqs[min(j, len(reqs) - 1)]
+                adapters[j] = null if r.adapter is None else r.adapter
+            args = args + (jnp.asarray(adapters),)
+        self.state = _SERVE_JIT_CACHE[key](*args)
         self._mark_admitted(reqs, slots)
 
     def _admit_group_prefix(self, pid, reqs, slots):

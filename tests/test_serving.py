@@ -1160,3 +1160,42 @@ def test_serving_multi_lora_over_int8_base(params):
     )["sequences"][0, len(p1):].tolist()
     assert outs[0] == ref0
     assert outs[1] == ref1  # null adapter == dequantized base
+
+
+def test_serving_multi_lora_chunked_prefill(params):
+    """Long prompts (chunked-prefill admission) compose with multi-LoRA:
+    adapter requests beyond the largest bucket prefill chunk by chunk
+    through their adapter; tokens equal the dense-merged reference."""
+    from llm_quest_tpu.ops import lora as L
+
+    k = jax.random.PRNGKey(61)
+    tree = L.replace_with_lora(k, params, 4, 8, path_filter=lambda p: "att" in p)
+
+    def randomize(node):
+        if isinstance(node, dict):
+            if "lora" in node:
+                b = node["lora"]["B"]
+                noise = 0.2 * jax.random.normal(jax.random.fold_in(k, b.size), b.shape)
+                return {**node, "lora": {**node["lora"], "B": noise.astype(b.dtype)}}
+            return {kk: randomize(v) for kk, v in node.items()}
+        if isinstance(node, list):
+            return [randomize(v) for v in node]
+        return node
+
+    stacked = L.stack_adapters([randomize(tree)])
+    rng = np.random.default_rng(59)
+    long_a = rng.integers(1, 128, size=19).tolist()  # 3 chunks of 8
+    short = rng.integers(1, 128, size=5).tolist()
+
+    engine = ContinuousBatchingEngine(
+        qwen3, stacked, CFG, n_slots=2, max_len=40, decode_chunk=3,
+        prefill_buckets=(8,), temp=0.0, eos_ids=-1, pad_id=0, prefill_chunk=8,
+    )
+    outs = engine.serve([(long_a, 6, None, None, 0), (short, 6)])
+    merged = L.merge_adapter(stacked, 0)
+    ref_long = gen.generate_kv_cache(
+        qwen3, merged, CFG, jnp.asarray([long_a], jnp.int32),
+        max_gen=6, temp=0.0, eos_ids=-1, pad_id=0,
+    )["sequences"][0, len(long_a):].tolist()
+    assert outs[0] == ref_long
+    assert outs[1] == _reference_tokens(params, short, 6)
