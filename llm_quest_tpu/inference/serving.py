@@ -476,6 +476,20 @@ def _admit_lora_impl(model, _frozen, cfg, n_slots, max_len, cache_dtype,
                        pmasks, slots, budgets)
 
 
+def _admit_vlm_lora_impl(model, _frozen, cfg, n_slots, max_len, cache_dtype,
+                         params, state, prompts, pmasks, pixels, prompt_pos,
+                         next_pos0, slots, budgets, adapters):
+    """_admit_vlm_impl with per-row multi-LoRA: each image+text request
+    encodes and prefills through ITS adapter (adapters may wrap the vision
+    tower's linears too — the per-row gather applies wherever the stacked
+    lora dicts sit)."""
+    from llm_quest_tpu.ops.lora import select_adapter
+
+    return _admit_vlm_impl(model, _frozen, cfg, n_slots, max_len, cache_dtype,
+                           select_adapter(params, adapters), state, prompts,
+                           pmasks, pixels, prompt_pos, next_pos0, slots, budgets)
+
+
 def _admit_chunked_lora_impl(model, _frozen, cfg, n_slots, max_len, cache_dtype,
                              n_chunks, chunk, params, state, prompts, pmasks,
                              slots, budgets, adapters):
@@ -1126,8 +1140,8 @@ class ContinuousBatchingEngine:
         if self._lora_n:
             # these admit paths don't thread per-row adapter selection yet —
             # stacked params would reach linear() without an idx
-            if pixels is not None:
-                raise ValueError("multi-LoRA engines do not serve multimodal requests yet")
+            if pixels is not None and prefix is not None:
+                raise ValueError("multi-LoRA does not compose with prefix+multimodal yet")
         if self._lora_n and prefix is not None and adapter != self._prefix_adapter[prefix]:
             raise ValueError(
                 f"request adapter {adapter} != adapter {self._prefix_adapter[prefix]} "
@@ -1196,7 +1210,6 @@ class ContinuousBatchingEngine:
             for j in range(k):
                 r = reqs[min(j, len(reqs) - 1)]
                 adapters[j] = null if r.adapter is None else r.adapter
-            self._slot_adapter[list(slots)] = adapters[: len(reqs)]
             args = args + (jnp.asarray(adapters),)
         self.state = self._admit_jit(*args)
         self._mark_admitted(reqs, slots)
@@ -1307,7 +1320,6 @@ class ContinuousBatchingEngine:
             null = self._lora_n - 1
             a = self._prefix_adapter[pid]
             adapters = np.full((k,), null if a is None else a, np.int32)
-            self._slot_adapter[list(slots)] = adapters[: len(reqs)]
             args = args + (jnp.asarray(adapters),)
         self.state = _SERVE_JIT_CACHE[key](*args)
         self._mark_admitted(reqs, slots)
@@ -1351,7 +1363,8 @@ class ContinuousBatchingEngine:
             slot_idx[j] = slots[min(j, len(reqs) - 1)]
             budgets[j] = r.max_gen
         key = (id(self.model), _freeze(self.cfg), self.n_slots, self.max_len,
-               str(self.cache_dtype), self.mesh, "admit_vlm", plen if pid is not None else None)
+               str(self.cache_dtype), self.mesh, "admit_vlm", plen if pid is not None else None,
+               "mlora" if self._lora_n else None)
         if key not in _SERVE_JIT_CACHE:
             if pid is not None:
                 _SERVE_JIT_CACHE[key] = jax.jit(
@@ -1362,7 +1375,8 @@ class ContinuousBatchingEngine:
                 )
             else:
                 _SERVE_JIT_CACHE[key] = jax.jit(
-                    partial(_admit_vlm_impl, self.model, _freeze(self.cfg), self.cfg,
+                    partial(_admit_vlm_lora_impl if self._lora_n else _admit_vlm_impl,
+                            self.model, _freeze(self.cfg), self.cfg,
                             self.n_slots, self.max_len, self.cache_dtype),
                     donate_argnums=(1,),
                     out_shardings=self._state_shardings,
@@ -1372,6 +1386,13 @@ class ContinuousBatchingEngine:
             jnp.asarray(prompt_pos), jnp.asarray(next_pos0),
             jnp.asarray(slot_idx), jnp.asarray(budgets),
         )
+        if self._lora_n and pid is None:
+            null = self._lora_n - 1
+            adapters = np.full((k,), null, np.int32)
+            for j in range(k):
+                r = reqs[min(j, len(reqs) - 1)]
+                adapters[j] = null if r.adapter is None else r.adapter
+            args = args + (jnp.asarray(adapters),)
         self.state = _SERVE_JIT_CACHE[key](*args)
         self._mark_admitted(reqs, slots)
 
@@ -1383,6 +1404,13 @@ class ContinuousBatchingEngine:
             if self._row_sampling:
                 self._slot_sample[s] = (
                     self._default_sample if r.sample is None else r.sample
+                )
+            if self._lora_n:
+                # the ONE place per-slot adapters update — every admit path
+                # (plain/prefix/chunked/vlm) funnels through here, so decode
+                # chunks always see the adapter the slot was prefilled with
+                self._slot_adapter[s] = (
+                    self._lora_n - 1 if r.adapter is None else r.adapter
                 )
         self._n_waves += 1
 

@@ -77,15 +77,20 @@ def lora_delta(lora, x):
     if getattr(lora["A"], "ndim", 0) == 3:  # stacked multi-adapter
         idx = lora["idx"]  # (b,) int32 — select_adapter pinned it
         r = int(lora["A"].shape[-1])
+        # rows = axis 0; fold any middle axes into one so (b, d) decode-step
+        # inputs and (b, s, d) prefill inputs go through the same einsums
+        shape = x.shape
+        xs = x.reshape(shape[0], -1, shape[-1])
         scale = lora["scale"][idx].astype(x.dtype)[:, None, None]
         A = lora["A"][idx].astype(x.dtype)  # (b, d, r)
-        xa = jnp.einsum("bsd,bdr->bsr", x, A)
+        xa = jnp.einsum("bsd,bdr->bsr", xs, A)
         if "P" in lora:  # TinyLoRA
             R = jnp.einsum("bk,bkq->bq", lora["v"][idx], lora["P"][idx]).reshape(-1, r, r)
             xa = jnp.einsum("bsr,brq->bsq", xa, R.astype(x.dtype))
         elif "R" in lora:  # LoRA-XS
             xa = jnp.einsum("bsr,brq->bsq", xa, lora["R"][idx].astype(x.dtype))
-        return scale * jnp.einsum("bsr,bro->bso", xa, lora["B"][idx].astype(x.dtype))
+        out = scale * jnp.einsum("bsr,bro->bso", xa, lora["B"][idx].astype(x.dtype))
+        return out.reshape(shape[:-1] + (out.shape[-1],))
     scale = lora["scale"].astype(x.dtype)
     if "v" in lora or "P" in lora:  # TinyLoRA
         r = int(lora["A"].shape[-1])
@@ -120,12 +125,16 @@ def _dense_weight(linear_params):
 def replace_with_lora(key, params, rank, alpha, *, variant="lora", path_filter=None, **kw):
     """Walk the params tree, augment every matching 2-D linear with a "lora"
     sub-dict (reference: lora.py:69-89). path_filter(path_str) → bool limits
-    the wrap (e.g. lambda p: "att" in p)."""
+    the wrap (e.g. lambda p: "att" in p). Paths containing "conv" or "emb"
+    never wrap regardless of the filter: their 2-D weights look like linears
+    but are not applied through ops.linear.linear (the reference wraps
+    nn.Linear modules only), so a delta there would merge but never apply."""
     init_fn = {"lora": init_lora, "lora_xs": init_lora_xs, "tiny_lora": init_tiny_lora}[variant]
     counter = [0]
 
     def walk(node, path):
-        if _is_linear(node) and (path_filter is None or path_filter(path)):
+        skip = "conv" in path.rsplit("/", 1)[-1] or "emb" in path.rsplit("/", 1)[-1]
+        if not skip and _is_linear(node) and (path_filter is None or path_filter(path)):
             counter[0] += 1
             sub = jax.random.fold_in(key, counter[0])
             return {**node, "lora": init_fn(sub, node, rank, alpha, **kw)}

@@ -1169,7 +1169,7 @@ def test_serving_multi_lora_chunked_prefill(params):
     from llm_quest_tpu.ops import lora as L
 
     k = jax.random.PRNGKey(61)
-    tree = L.replace_with_lora(k, params, 4, 8, path_filter=lambda p: "att" in p)
+    tree = L.replace_with_lora(k, params, 4, 16, path_filter=lambda p: "att" in p)
 
     def randomize(node):
         if isinstance(node, dict):
@@ -1191,11 +1191,90 @@ def test_serving_multi_lora_chunked_prefill(params):
         qwen3, stacked, CFG, n_slots=2, max_len=40, decode_chunk=3,
         prefill_buckets=(8,), temp=0.0, eos_ids=-1, pad_id=0, prefill_chunk=8,
     )
-    outs = engine.serve([(long_a, 6, None, None, 0), (short, 6)])
+    outs = engine.serve([(long_a, 12, None, None, 0), (short, 6)])
     merged = L.merge_adapter(stacked, 0)
     ref_long = gen.generate_kv_cache(
         qwen3, merged, CFG, jnp.asarray([long_a], jnp.int32),
-        max_gen=6, temp=0.0, eos_ids=-1, pad_id=0,
+        max_gen=12, temp=0.0, eos_ids=-1, pad_id=0,
     )["sequences"][0, len(long_a):].tolist()
     assert outs[0] == ref_long
     assert outs[1] == _reference_tokens(params, short, 6)
+    # the DECODE side must run through the adapter too (regression: a stale
+    # per-slot adapter once decoded through the base and still matched a
+    # 6-token oracle) — base-model decode from the same prefill must differ
+    base_long = gen.generate_kv_cache(
+        qwen3, params, CFG, jnp.asarray([long_a], jnp.int32),
+        max_gen=12, temp=0.0, eos_ids=-1, pad_id=0,
+    )["sequences"][0, len(long_a):].tolist()
+    assert outs[0] != base_long
+
+
+def test_serving_multimodal_with_lora():
+    """Multimodal + multi-LoRA: an image request through adapter 0 (text
+    layers wrapped) equals generate_multimodal on the dense-merged params;
+    a base image request and a text-only one share the pool."""
+    from llm_quest_tpu.models import qwen3_5
+    from llm_quest_tpu.ops import lora as L
+
+    class VLM:
+        apply = staticmethod(qwen3_5.apply)
+        init_cache = staticmethod(qwen3_5.init_cache)
+
+    params = qwen3_5.init(jax.random.PRNGKey(0), VLM_CFG)
+    k = jax.random.PRNGKey(67)
+    tree = L.replace_with_lora(
+        k, params, 4, 8, path_filter=lambda p: "/text/" in p and "att" in p
+    )
+
+    def randomize(node):
+        if isinstance(node, dict):
+            if "lora" in node:
+                b = node["lora"]["B"]
+                noise = 0.3 * jax.random.normal(jax.random.fold_in(k, b.size), b.shape)
+                return {**node, "lora": {**node["lora"], "B": noise.astype(b.dtype)}}
+            return {kk: randomize(v) for kk, v in node.items()}
+        if isinstance(node, list):
+            return [randomize(v) for v in node]
+        return node
+
+    stacked = L.stack_adapters([randomize(tree)])
+    assert L.num_adapters(stacked) == 2
+
+    n_vis = (64 // 16) ** 2 // 2 ** 2
+    rng = np.random.default_rng(71)
+
+    def mm_prompt(head, tail):
+        return (rng.integers(1, 500, size=head).tolist()
+                + [VLM_CFG["image_token_id"]] * n_vis
+                + rng.integers(1, 500, size=tail).tolist())
+
+    p0, p1 = mm_prompt(2, 3), mm_prompt(3, 2)
+    img0, img1 = (np.asarray(rng.standard_normal((3, 2, 64, 64)), np.float32) for _ in range(2))
+    text_only = rng.integers(1, 500, size=5).tolist()
+
+    engine = ContinuousBatchingEngine(
+        VLM, stacked, VLM_CFG, n_slots=2, max_len=48, decode_chunk=3,
+        prefill_buckets=(16,), temp=0.0, eos_ids=-1, pad_id=0,
+    )
+    r0 = engine.submit(p0, 6, pixels=img0, adapter=0)
+    r1 = engine.submit(p1, 6, pixels=img1)
+    r2 = engine.submit(text_only, 6)
+    while engine.step():
+        pass
+
+    merged = L.merge_adapter(stacked, 0)
+    ref0 = qwen3_5.generate_multimodal(
+        merged, VLM_CFG, jnp.asarray([p0], jnp.int32), jnp.asarray(img0[None]),
+        max_gen=6, temp=0.0, eos_ids=-1, pad_id=0,
+    )["sequences"][0, len(p0):].tolist()
+    ref1 = qwen3_5.generate_multimodal(
+        params, VLM_CFG, jnp.asarray([p1], jnp.int32), jnp.asarray(img1[None]),
+        max_gen=6, temp=0.0, eos_ids=-1, pad_id=0,
+    )["sequences"][0, len(p1):].tolist()
+    assert engine._requests[r0].tokens == ref0
+    assert engine._requests[r1].tokens == ref1
+    ref2 = gen.generate_kv_cache(
+        VLM, params, VLM_CFG, jnp.asarray([text_only], jnp.int32),
+        max_gen=6, temp=0.0, eos_ids=-1, pad_id=0,
+    )["sequences"][0, len(text_only):].tolist()
+    assert engine._requests[r2].tokens == ref2
