@@ -476,6 +476,45 @@ def _admit_lora_impl(model, _frozen, cfg, n_slots, max_len, cache_dtype,
                        pmasks, slots, budgets)
 
 
+def _admit_spec_lora_impl(model, draft_model, _frozen, cfg, dcfg, n_slots, max_len,
+                          cache_dtype, params, dparams, state, prompts, pmasks,
+                          slots, budgets, adapters):
+    """Speculative admission with per-row multi-LoRA on the TARGET (the
+    draft stays base — acceptance may drop for strong adapters, greedy
+    commits stay exactly the adapted target's)."""
+    from llm_quest_tpu.ops.lora import select_adapter
+
+    return _admit_spec_impl(model, draft_model, _frozen, cfg, dcfg, n_slots,
+                            max_len, cache_dtype, select_adapter(params, adapters),
+                            dparams, state, prompts, pmasks, slots, budgets)
+
+
+def _admit_spec_prefix_lora_impl(model, draft_model, _frozen, cfg, dcfg, n_slots,
+                                 max_len, cache_dtype, plen, params, dparams, state,
+                                 pcache, d_pcache, prompts, pmasks, slots, budgets,
+                                 adapters):
+    """_admit_spec_prefix_impl with the target selected per-row (the stored
+    target prefix row was prefilled through the same adapter)."""
+    from llm_quest_tpu.ops.lora import select_adapter
+
+    return _admit_spec_prefix_impl(model, draft_model, _frozen, cfg, dcfg, n_slots,
+                                   max_len, cache_dtype, plen,
+                                   select_adapter(params, adapters), dparams, state,
+                                   pcache, d_pcache, prompts, pmasks, slots, budgets)
+
+
+def _spec_lora_chunk_impl(model, draft_model, _frozen, cfg, dcfg, n_slots, max_len,
+                          gamma, windows, pad_id, sample_kw, params, dparams, state,
+                          eos_arr, slot_adapters):
+    """_spec_chunk_impl verifying through each slot's adapter (draft base)."""
+    from llm_quest_tpu.ops.lora import select_adapter
+
+    return _spec_chunk_impl(model, draft_model, _frozen, cfg, dcfg, n_slots, max_len,
+                            gamma, windows, pad_id, sample_kw,
+                            select_adapter(params, slot_adapters), dparams, state,
+                            eos_arr)
+
+
 def _admit_vlm_lora_impl(model, _frozen, cfg, n_slots, max_len, cache_dtype,
                          params, state, prompts, pmasks, pixels, prompt_pos,
                          next_pos0, slots, budgets, adapters):
@@ -901,8 +940,6 @@ class ContinuousBatchingEngine:
         from llm_quest_tpu.ops.lora import num_adapters
 
         self._lora_n = num_adapters(params)  # incl. the null row; 0 = off
-        if self._lora_n and self._spec:
-            raise ValueError("multi-LoRA serving does not compose with speculative serving yet")
         self._slot_adapter = np.full((n_slots,), max(self._lora_n - 1, 0), np.int32)
         # prompts longer than the largest bucket admit through sequential
         # fixed-size prefill chunks (one program per chunk count)
@@ -944,7 +981,8 @@ class ContinuousBatchingEngine:
         if admit_key not in _SERVE_JIT_CACHE:
             if self._spec:
                 _SERVE_JIT_CACHE[admit_key] = jax.jit(
-                    partial(_admit_spec_impl, model, draft_model, _freeze(cfg), cfg,
+                    partial(_admit_spec_lora_impl if self._lora_n else _admit_spec_impl,
+                            model, draft_model, _freeze(cfg), cfg,
                             draft_cfg, n_slots, max_len, cache_dtype),
                     donate_argnums=(2,),
                     out_shardings=self._state_shardings,
@@ -965,7 +1003,8 @@ class ContinuousBatchingEngine:
         if decode_key not in _SERVE_JIT_CACHE:
             if self._spec:
                 _SERVE_JIT_CACHE[decode_key] = jax.jit(
-                    partial(_spec_chunk_impl, model, draft_model, _freeze(cfg), cfg,
+                    partial(_spec_lora_chunk_impl if self._lora_n else _spec_chunk_impl,
+                            model, draft_model, _freeze(cfg), cfg,
                             draft_cfg, n_slots, max_len, gamma, decode_chunk, pad_id,
                             tuple(sorted(self.sample_kw.items()))),
                     donate_argnums=(2,),
@@ -1285,20 +1324,28 @@ class ContinuousBatchingEngine:
             d_pcache = self._prefixes[pid][2]
             key = (id(self.model), id(self.draft_model), _freeze(self.cfg),
                    _freeze(self.draft_cfg), self.n_slots, self.max_len,
-                   str(self.cache_dtype), self.mesh, "admit_spec_prefix", plen)
+                   str(self.cache_dtype), self.mesh, "admit_spec_prefix", plen,
+                   "mlora" if self._lora_n else None)
             if key not in _SERVE_JIT_CACHE:
                 _SERVE_JIT_CACHE[key] = jax.jit(
-                    partial(_admit_spec_prefix_impl, self.model, self.draft_model,
+                    partial(_admit_spec_prefix_lora_impl if self._lora_n
+                            else _admit_spec_prefix_impl, self.model, self.draft_model,
                             _freeze(self.cfg), self.cfg, self.draft_cfg,
                             self.n_slots, self.max_len, self.cache_dtype, plen),
                     donate_argnums=(2,),
                     out_shardings=self._state_shardings,
                 )
-            self.state = _SERVE_JIT_CACHE[key](
+            sargs = (
                 self.params, self.draft_params, self.state, pcache, d_pcache,
                 jnp.asarray(prompt), jnp.asarray(pmask),
                 jnp.asarray(slot_idx), jnp.asarray(budgets),
             )
+            if self._lora_n:
+                null = self._lora_n - 1
+                a0 = self._prefix_adapter[pid]
+                sargs = sargs + (jnp.asarray(
+                    np.full((k,), null if a0 is None else a0, np.int32)),)
+            self.state = _SERVE_JIT_CACHE[key](*sargs)
             self._mark_admitted(reqs, slots)
             return
         key = (id(self.model), _freeze(self.cfg), self.n_slots, self.max_len,

@@ -1278,3 +1278,62 @@ def test_serving_multimodal_with_lora():
         max_gen=6, temp=0.0, eos_ids=-1, pad_id=0,
     )["sequences"][0, len(text_only):].tolist()
     assert engine._requests[r2].tokens == ref2
+
+
+def test_serving_speculative_with_lora(params):
+    """Speculative serving composes with multi-LoRA: the TARGET verifies
+    through each slot's adapter (draft stays base — lossless regardless of
+    acceptance), incl. on a registered prefix. Greedy tokens equal the
+    plain engine on the dense-merged adapter."""
+    from llm_quest_tpu.ops import lora as L
+
+    k = jax.random.PRNGKey(73)
+    tree = L.replace_with_lora(k, params, 4, 16, path_filter=lambda p: "att" in p)
+
+    def randomize(node):
+        if isinstance(node, dict):
+            if "lora" in node:
+                b = node["lora"]["B"]
+                noise = 0.3 * jax.random.normal(jax.random.fold_in(k, b.size), b.shape)
+                return {**node, "lora": {**node["lora"], "B": noise.astype(b.dtype)}}
+            return {kk: randomize(v) for kk, v in node.items()}
+        if isinstance(node, list):
+            return [randomize(v) for v in node]
+        return node
+
+    stacked = L.stack_adapters([randomize(tree)])
+    draft_cfg = dict(CFG, n_layers=1, emb_dim=16, hidden_dim=32, head_dim=4)
+    draft_params = qwen3.init(jax.random.PRNGKey(7), draft_cfg)
+    rng = np.random.default_rng(79)
+    p0, p1 = (rng.integers(1, 128, size=n).tolist() for n in (5, 7))
+
+    engine = ContinuousBatchingEngine(
+        qwen3, stacked, CFG, n_slots=2, max_len=48, decode_chunk=2,
+        prefill_buckets=(8,), temp=0.0, eos_ids=-1, pad_id=0,
+        draft_model=qwen3, draft_params=draft_params, draft_cfg=draft_cfg, gamma=3,
+    )
+    outs = engine.serve([(p0, 10, None, None, 0), (p1, 6)])
+    merged = L.merge_adapter(stacked, 0)
+    ref0 = gen.generate_kv_cache(
+        qwen3, merged, CFG, jnp.asarray([p0], jnp.int32),
+        max_gen=10, temp=0.0, eos_ids=-1, pad_id=0,
+    )["sequences"][0, len(p0):].tolist()
+    assert outs[0] == ref0
+    assert outs[1] == _reference_tokens(params, p1, 6)
+    # decode-side divergence from base proves the verify ran the adapter
+    base0 = gen.generate_kv_cache(
+        qwen3, params, CFG, jnp.asarray([p0], jnp.int32),
+        max_gen=10, temp=0.0, eos_ids=-1, pad_id=0,
+    )["sequences"][0, len(p0):].tolist()
+    assert outs[0] != base0
+
+    # prefix + spec + adapter: the per-tenant full stack
+    prefix = rng.integers(1, 128, size=6).tolist()
+    pid = engine.register_prefix(prefix, adapter=0)
+    suf = rng.integers(1, 128, size=3).tolist()
+    got = engine.serve([(suf, 6, pid, None, 0)])[0]
+    ref = gen.generate_kv_cache(
+        qwen3, merged, CFG, jnp.asarray([prefix + suf], jnp.int32),
+        max_gen=6, temp=0.0, eos_ids=-1, pad_id=0,
+    )["sequences"][0, len(prefix) + len(suf):].tolist()
+    assert got == ref
