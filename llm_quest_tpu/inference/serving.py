@@ -1573,6 +1573,12 @@ class ContinuousBatchingEngine:
                 self._slot_req[slot] = None
         return True
 
+    def result(self, rid):
+        """Tokens committed so far for request ``rid`` (a copy) and whether
+        it has retired: ``(tokens, done)``."""
+        req = self._requests[rid]
+        return list(req.tokens), req.done
+
     def request_logprobs(self, rid):
         """Per-token logprobs of request ``rid``'s committed tokens (raw
         model log-softmax; engine built with return_logprobs=True), aligned
