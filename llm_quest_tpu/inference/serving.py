@@ -476,6 +476,50 @@ def _admit_lora_impl(model, _frozen, cfg, n_slots, max_len, cache_dtype,
                        pmasks, slots, budgets)
 
 
+def _admit_spec_chunked_impl(model, draft_model, _frozen, cfg, dcfg, n_slots,
+                             max_len, cache_dtype, n_chunks, chunk, params,
+                             dparams, state, prompts, pmasks, slots, budgets):
+    """Chunked-prefill admission for SPECULATIVE serving: prompts longer
+    than any bucket prefill BOTH pool caches (target and draft) through n
+    sequential fixed-size chunks in one program; the verify windows start
+    from each row's last real token (column pointers rewound to real
+    length, as in _admit_spec_impl)."""
+    k, lb = prompts.shape
+    assert lb == n_chunks * chunk, (lb, n_chunks, chunk)
+    grp_mask = jnp.zeros((k, max_len), bool).at[:, :lb].set(pmasks)
+    real_len = jnp.sum(pmasks, axis=1).astype(jnp.int32)
+    rows = jnp.arange(k)
+
+    def chunked_prefill(m, p, c):
+        cache = m.init_cache(c, k, max_len, dtype=cache_dtype)
+        last = jnp.zeros((k, c["vocab_size"]), jnp.float32)
+        for ci in range(n_chunks):
+            ids_c = prompts[:, ci * chunk : (ci + 1) * chunk]
+            logits_c, cache, _ = m.apply(p, c, ids_c, attn_mask=grp_mask, cache=cache)
+            loc = real_len - 1 - ci * chunk
+            in_chunk = (loc >= 0) & (loc < chunk)
+            picked = logits_c[rows, jnp.clip(loc, 0, chunk - 1)].astype(jnp.float32)
+            last = jnp.where(in_chunk[:, None], picked, last)
+        return {**cache, "pos": real_len}, last
+
+    grp_cache, logits = chunked_prefill(model, params, cfg)
+    grp_d, _ = chunked_prefill(draft_model, dparams, dcfg)
+    last_tok = prompts[rows, real_len - 1]
+
+    insert = lambda big, small: _insert_rows(big, small, slots, n_slots, k)  # noqa: E731
+    return {
+        "cache": jax.tree.map(insert, state["cache"], grp_cache),
+        "d_cache": jax.tree.map(insert, state["d_cache"], grp_d),
+        "mask_buf": state["mask_buf"].at[slots].set(grp_mask),
+        "last_logits": state["last_logits"].at[slots].set(logits),
+        "last_tok": state["last_tok"].at[slots].set(last_tok.astype(jnp.int32)),
+        "seqpos": state["seqpos"].at[slots].set(real_len),
+        "finished": state["finished"].at[slots].set(False),
+        "budget": state["budget"].at[slots].set(budgets),
+        "rng": state["rng"],
+    }
+
+
 def _admit_spec_lora_impl(model, draft_model, _frozen, cfg, dcfg, n_slots, max_len,
                           cache_dtype, params, dparams, state, prompts, pmasks,
                           slots, budgets, adapters):
@@ -1257,9 +1301,8 @@ class ContinuousBatchingEngine:
         """_admit_group for prompts longer than the largest bucket: the wave
         pads to a prefill_chunk multiple and prefills through n_chunks
         sequential calls inside ONE program (static offsets — a program per
-        chunk count, shared across requests)."""
-        if self._spec:
-            raise ValueError("chunked-prefill admission is not supported in speculative serving yet")
+        chunk count, shared across requests). Speculative engines prefill
+        BOTH pool caches this way (_admit_spec_chunked_impl)."""
         ck = self.prefill_chunk
         lb = max(self._bucket_len(len(r.ids)) for r in reqs)
         n_chunks = lb // ck
@@ -1278,17 +1321,29 @@ class ContinuousBatchingEngine:
             budgets[j] = r.max_gen
         key = (id(self.model), _freeze(self.cfg), self.n_slots, self.max_len,
                str(self.cache_dtype), self.mesh, "admit_chunked", n_chunks, ck,
-               "mlora" if self._lora_n else None)
+               "mlora" if self._lora_n else None,
+               ("spec", id(self.draft_model), _freeze(self.draft_cfg)) if self._spec else None)
         if key not in _SERVE_JIT_CACHE:
-            _SERVE_JIT_CACHE[key] = jax.jit(
-                partial(_admit_chunked_lora_impl if self._lora_n else _admit_chunked_impl,
-                        self.model, _freeze(self.cfg), self.cfg,
-                        self.n_slots, self.max_len, self.cache_dtype, n_chunks, ck),
-                donate_argnums=(1,),
-                out_shardings=self._state_shardings,
-            )
-        args = (
-            self.params, self.state, jnp.asarray(prompt), jnp.asarray(pmask),
+            if self._spec:
+                if self._lora_n:
+                    raise ValueError("spec + chunked prefill + multi-LoRA is not wired yet")
+                _SERVE_JIT_CACHE[key] = jax.jit(
+                    partial(_admit_spec_chunked_impl, self.model, self.draft_model,
+                            _freeze(self.cfg), self.cfg, self.draft_cfg,
+                            self.n_slots, self.max_len, self.cache_dtype, n_chunks, ck),
+                    donate_argnums=(2,),
+                    out_shardings=self._state_shardings,
+                )
+            else:
+                _SERVE_JIT_CACHE[key] = jax.jit(
+                    partial(_admit_chunked_lora_impl if self._lora_n else _admit_chunked_impl,
+                            self.model, _freeze(self.cfg), self.cfg,
+                            self.n_slots, self.max_len, self.cache_dtype, n_chunks, ck),
+                    donate_argnums=(1,),
+                    out_shardings=self._state_shardings,
+                )
+        args = (self.params,) + ((self.draft_params,) if self._spec else ()) + (
+            self.state, jnp.asarray(prompt), jnp.asarray(pmask),
             jnp.asarray(slot_idx), jnp.asarray(budgets),
         )
         if self._lora_n:

@@ -1337,3 +1337,23 @@ def test_serving_speculative_with_lora(params):
         max_gen=6, temp=0.0, eos_ids=-1, pad_id=0,
     )["sequences"][0, len(prefix) + len(suf):].tolist()
     assert got == ref
+
+
+def test_serving_speculative_chunked_prefill(params):
+    """Long prompts + speculative decode: chunked-prefill admission fills
+    BOTH pool caches; greedy tokens equal the plain engine (lossless)."""
+    draft_cfg = dict(CFG, n_layers=1, emb_dim=16, hidden_dim=32, head_dim=4)
+    draft_params = qwen3.init(jax.random.PRNGKey(7), draft_cfg)
+    rng = np.random.default_rng(83)
+    long_a = rng.integers(1, 128, size=20).tolist()  # 3 chunks of 8
+    long_b = rng.integers(1, 128, size=17).tolist()  # ends in chunk 3 col 0
+    short = rng.integers(1, 128, size=5).tolist()
+
+    engine = ContinuousBatchingEngine(
+        qwen3, params, CFG, n_slots=2, max_len=48, decode_chunk=2,
+        prefill_buckets=(8,), temp=0.0, eos_ids=-1, pad_id=0, prefill_chunk=8,
+        draft_model=qwen3, draft_params=draft_params, draft_cfg=draft_cfg, gamma=3,
+    )
+    outs = engine.serve([(long_a, 8), (long_b, 8), (short, 6)])
+    for ids, mg, got in zip((long_a, long_b, short), (8, 8, 6), outs):
+        assert got == _reference_tokens(params, ids, mg), (len(ids), got)
