@@ -549,14 +549,14 @@ def _admit_spec_prefix_lora_impl(model, draft_model, _frozen, cfg, dcfg, n_slots
 
 def _spec_lora_chunk_impl(model, draft_model, _frozen, cfg, dcfg, n_slots, max_len,
                           gamma, windows, pad_id, sample_kw, params, dparams, state,
-                          eos_arr, slot_adapters):
+                          eos_arr, slot_adapters, row_sample=None):
     """_spec_chunk_impl verifying through each slot's adapter (draft base)."""
     from llm_quest_tpu.ops.lora import select_adapter
 
     return _spec_chunk_impl(model, draft_model, _frozen, cfg, dcfg, n_slots, max_len,
                             gamma, windows, pad_id, sample_kw,
                             select_adapter(params, slot_adapters), dparams, state,
-                            eos_arr)
+                            eos_arr, row_sample)
 
 
 def _admit_vlm_lora_impl(model, _frozen, cfg, n_slots, max_len, cache_dtype,
@@ -706,7 +706,8 @@ def _admit_spec_impl(model, draft_model, _frozen, cfg, dcfg, n_slots, max_len,
 
 
 def _spec_chunk_impl(model, draft_model, _frozen, cfg, dcfg, n_slots, max_len,
-                     gamma, windows, pad_id, sample_kw, params, dparams, state, eos_arr):
+                     gamma, windows, pad_id, sample_kw, params, dparams, state,
+                     eos_arr, row_sample=None):
     """Speculative decode chunk: ``windows`` draft+verify windows advancing
     every slot (greedy acceptance — lossless vs plain greedy decode).
 
@@ -739,7 +740,29 @@ def _spec_chunk_impl(model, draft_model, _frozen, cfg, dcfg, n_slots, max_len,
 
     kw = dict(sample_kw)
     temp = kw.get("temp") or 0.0
-    mprobs = partial(modified_probs, top_k=kw.get("top_k"), top_p=kw.get("top_p"), temp=temp)
+    if row_sample is not None:
+        # PER-REQUEST sampling inside speculative serving: each row carries
+        # [temp, top_k, top_p, _]; greedy rows (temp 0) use exact-match
+        # acceptance, stochastic rows the u < p/q scheme — selected per row
+        # from both computed paths (min_p is rejected at submit: the
+        # reference's modified-distribution scheme doesn't define it)
+        from llm_quest_tpu.ops.sampling import filter_probs_per_row
+
+        r_temp = row_sample[:, 0]
+        r_topk = row_sample[:, 1].astype(jnp.int32)
+        r_topp = row_sample[:, 2]
+        t_eff = jnp.where(r_temp > 0, r_temp, 1.0)
+        temp = 1.0  # force the stochastic code path below; per-row masks pick
+
+        def mprobs(logits):
+            scaled = logits.astype(jnp.float32) / t_eff.reshape(
+                (-1,) + (1,) * (logits.ndim - 1)
+            )
+            return filter_probs_per_row(
+                jax.nn.softmax(scaled, axis=-1), top_k=r_topk, top_p=r_topp
+            )
+    else:
+        mprobs = partial(modified_probs, top_k=kw.get("top_k"), top_p=kw.get("top_p"), temp=temp)
     idx = jnp.arange(gamma + 1)[None, :]
     cols = jnp.arange(max_len, dtype=jnp.int32)[None, :]
 
@@ -768,6 +791,11 @@ def _spec_chunk_impl(model, draft_model, _frozen, cfg, dcfg, n_slots, max_len,
                 nxt = jax.random.categorical(
                     jax.random.fold_in(r_draft, t), jnp.log(jnp.maximum(probs, 1e-20))
                 ).astype(jnp.int32)
+                if row_sample is not None:  # greedy rows draft via argmax
+                    nxt = jnp.where(
+                        r_temp > 0, nxt,
+                        jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32),
+                    )
             return (d_cache, nxt), (nxt, probs)
 
         (d_cache, _), (drafted, dprobs) = lax.scan(dstep, (d_cache, last_tok), jnp.arange(gamma))
@@ -801,6 +829,11 @@ def _spec_chunk_impl(model, draft_model, _frozen, cfg, dcfg, n_slots, max_len,
             q_tok = jnp.take_along_axis(dp, drafted[:, :, None], axis=2)[..., 0]
             ratio = p_tok / jnp.maximum(q_tok, 1e-20)  # (b, γ)
             accept = jax.random.uniform(r_accept, ratio.shape) < ratio
+            if row_sample is not None:  # greedy rows: exact-match acceptance
+                g_choice = jnp.argmax(t_logits, axis=-1).astype(jnp.int32)
+                accept = jnp.where(
+                    (r_temp > 0)[:, None], accept, g_choice[:, :gamma] == drafted
+                )
             n = jnp.sum(jnp.cumprod(accept.astype(jnp.int32), axis=1), axis=1)  # (b,)
             adjusted = jnp.maximum(tprobs[:, :gamma] - dp, 0.0)
             adjusted = adjusted / jnp.maximum(jnp.sum(adjusted, axis=-1, keepdims=True), 1e-20)
@@ -811,6 +844,11 @@ def _spec_chunk_impl(model, draft_model, _frozen, cfg, dcfg, n_slots, max_len,
                 axis=-1,
             ).astype(jnp.int32)  # (b, γ+1): resample at i<γ, bonus at γ
             corr = jnp.take_along_axis(all_corr, n[:, None], axis=1)[:, 0]
+            if row_sample is not None:  # greedy rows: correction = argmax
+                corr = jnp.where(
+                    r_temp > 0, corr,
+                    jnp.take_along_axis(g_choice, n[:, None], axis=1)[:, 0],
+                )
         drafted_pad = jnp.concatenate([drafted, jnp.zeros((drafted.shape[0], 1), jnp.int32)], axis=1)
         cand = jnp.where(idx < n[:, None], drafted_pad,
                          jnp.where(idx == n[:, None], corr[:, None], pad_id))
@@ -958,8 +996,6 @@ class ContinuousBatchingEngine:
         # overrides the engine defaults PER ROW; one decode program serves
         # mixed sampler traffic (greedy + stochastic in the same pool)
         self._row_sampling = per_request_sampling
-        if per_request_sampling and draft_model is not None:
-            raise ValueError("per-request sampling does not compose with speculative serving yet")
         # per-token logprobs of committed tokens (raw model log-softmax, the
         # OpenAI convention) — read back via request_logprobs(rid)
         self._logprobs = return_logprobs
@@ -1252,6 +1288,10 @@ class ContinuousBatchingEngine:
             )
             if sample_row[2] < 1.0 and sample_row[3] > 0.0:  # effective combo
                 raise ValueError("Cannot use top_p and min_p together")
+            if self._spec and sample_row[3] > 0.0:
+                raise ValueError(
+                    "min_p is not defined for the speculative modified-distribution scheme"
+                )
         req = _Request(
             rid, ids, max_gen, prefix=prefix,
             pixels=None if pixels is None else np.asarray(pixels),

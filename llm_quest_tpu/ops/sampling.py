@@ -82,6 +82,47 @@ def sampling(rng, logits, *, top_k=None, top_p=None, min_p=None, temp=0.0):
     return jax.random.categorical(rng, jnp.log(probs), axis=-1).astype(jnp.int32)
 
 
+def filter_probs_per_row(probs, *, top_k, top_p, min_p=None):
+    """``filter_probs`` with PER-ROW knob arrays (b,), applied over
+    (b, ..., v) probabilities (extra middle axes share the row's knobs).
+    Disable encodings: top_k 0, top_p >= 1, min_p 0. Matches filter_probs'
+    combination semantics exactly: the hard top-k cut is off under min-p
+    (top_k becomes min_tokens_to_keep), top-p keeps the pivot token."""
+    v = probs.shape[-1]
+    mid = (1,) * (probs.ndim - 2)
+    col = lambda a: a.reshape(a.shape[:1] + mid + (1,))  # noqa: E731
+    if min_p is None:
+        min_p = jnp.zeros(probs.shape[:1], jnp.float32)
+
+    sort_idx = jnp.argsort(-probs, axis=-1)
+    sorted_probs = jnp.take_along_axis(probs, sort_idx, axis=-1)
+
+    k_pos = jnp.broadcast_to(
+        col(jnp.clip(top_k - 1, 0, v - 1).astype(jnp.int32)), probs.shape[:-1] + (1,)
+    )
+    kth = jnp.take_along_axis(sorted_probs, k_pos, axis=-1)
+    keep = jnp.where(col((top_k > 0) & (min_p <= 0)), probs >= kth, True)
+
+    cum = jnp.cumsum(sorted_probs, axis=-1)
+    over = cum > col(top_p)
+    over = jnp.concatenate([jnp.zeros_like(over[..., :1]), over[..., :-1]], axis=-1)
+    inv_idx = jnp.argsort(sort_idx, axis=-1)
+    keep_p = ~jnp.take_along_axis(over, inv_idx, axis=-1)
+    keep &= jnp.where(col(top_p < 1.0), keep_p, True)
+
+    p_max = jnp.max(probs, axis=-1, keepdims=True)
+    mtk_pos = jnp.broadcast_to(
+        col(jnp.clip(jnp.maximum(top_k, 1) - 1, 0, v - 1).astype(jnp.int32)),
+        probs.shape[:-1] + (1,),
+    )
+    mtk_th = jnp.take_along_axis(sorted_probs, mtk_pos, axis=-1)
+    keep_m = (probs >= col(min_p) * p_max) | (probs >= mtk_th)
+    keep &= jnp.where(col(min_p > 0), keep_m, True)
+
+    probs = jnp.where(keep, probs, 0.0)
+    return probs / jnp.sum(probs, axis=-1, keepdims=True)
+
+
 def sampling_per_row(rng, logits, *, temp, top_k, top_p, min_p):
     """Per-ROW sampling: every argument is a (b,) array, so one compiled
     program serves requests with different sampler settings (continuous-
@@ -91,39 +132,10 @@ def sampling_per_row(rng, logits, *, temp, top_k, top_p, min_p):
     (same pivot-keep top-p shift, same min_tokens_to_keep = max(top_k, 1)
     under min-p); with uniform rows the draws are bit-identical to the
     scalar sampler (same categorical call)."""
-    b, v = logits.shape
     temp = temp.astype(jnp.float32)
     t_eff = jnp.where(temp > 0, temp, 1.0)[:, None]
     probs = jax.nn.softmax(logits.astype(jnp.float32) / t_eff, axis=-1)
-
-    sort_idx = jnp.argsort(-probs, axis=-1)
-    sorted_probs = jnp.take_along_axis(probs, sort_idx, axis=-1)
-
-    # top-k: keep everything >= the row's k-th largest prob (k=0 → keep all).
-    # Under min-p the hard cut is OFF — top_k only sets min_tokens_to_keep,
-    # mirroring filter_probs' elif chain.
-    k_pos = jnp.clip(top_k - 1, 0, v - 1).astype(jnp.int32)[:, None]
-    kth = jnp.take_along_axis(sorted_probs, k_pos, axis=-1)
-    keep = jnp.where(((top_k > 0) & (min_p <= 0))[:, None], probs >= kth, True)
-
-    # top-p pivot-keep shift on the sorted order, mapped back
-    cum = jnp.cumsum(sorted_probs, axis=-1)
-    over = cum > top_p[:, None]
-    over = jnp.concatenate([jnp.zeros_like(over[..., :1]), over[..., :-1]], axis=-1)
-    inv_idx = jnp.argsort(sort_idx, axis=-1)
-    keep_p = ~jnp.take_along_axis(over, inv_idx, axis=-1)
-    keep &= jnp.where((top_p < 1.0)[:, None], keep_p, True)
-
-    # min-p: dynamic p_max-scaled threshold, always keeping the row's top
-    # max(top_k, 1) tokens (min_tokens_to_keep semantics of filter_probs)
-    p_max = jnp.max(probs, axis=-1, keepdims=True)
-    mtk_pos = jnp.clip(jnp.maximum(top_k, 1) - 1, 0, v - 1).astype(jnp.int32)[:, None]
-    mtk_th = jnp.take_along_axis(sorted_probs, mtk_pos, axis=-1)
-    keep_m = (probs >= min_p[:, None] * p_max) | (probs >= mtk_th)
-    keep &= jnp.where((min_p > 0)[:, None], keep_m, True)
-
-    probs = jnp.where(keep, probs, 0.0)
-    probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
+    probs = filter_probs_per_row(probs, top_k=top_k, top_p=top_p, min_p=min_p)
     sampled = jax.random.categorical(rng, jnp.log(probs), axis=-1).astype(jnp.int32)
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     return jnp.where(temp > 0, sampled, greedy)

@@ -1357,3 +1357,38 @@ def test_serving_speculative_chunked_prefill(params):
     outs = engine.serve([(long_a, 8), (long_b, 8), (short, 6)])
     for ids, mg, got in zip((long_a, long_b, short), (8, 8, 6), outs):
         assert got == _reference_tokens(params, ids, mg), (len(ids), got)
+
+
+def test_serving_speculative_per_request_sampling(params):
+    """Per-request sampling inside SPECULATIVE serving: greedy-override
+    requests use exact-match acceptance and match the plain greedy engine
+    EXACTLY (lossless through the per-row path) while stochastic requests
+    decode in the same pool; top_k=1 stochastic rows are argmax-
+    deterministic and also match greedy."""
+    draft_cfg = dict(CFG, n_layers=1, emb_dim=16, hidden_dim=32, head_dim=4)
+    draft_params = qwen3.init(jax.random.PRNGKey(7), draft_cfg)
+    rng = np.random.default_rng(89)
+    prompts = [rng.integers(1, 128, size=n).tolist() for n in (5, 7, 4)]
+
+    engine = ContinuousBatchingEngine(
+        qwen3, params, CFG, n_slots=2, max_len=48, decode_chunk=2,
+        prefill_buckets=(8,), temp=0.9, top_k=20, eos_ids=-1, pad_id=0,
+        draft_model=qwen3, draft_params=draft_params, draft_cfg=draft_cfg, gamma=3,
+        per_request_sampling=True,
+    )
+    rids = [
+        engine.submit(prompts[0], 9, temp=0.0),           # greedy in a stochastic pool
+        engine.submit(prompts[1], 7),                      # engine default stochastic
+        engine.submit(prompts[2], 6, temp=0.8, top_k=1),   # argmax-deterministic
+    ]
+    while engine.step():
+        pass
+    toks0, done0 = engine.result(rids[0])
+    assert done0 and toks0 == _reference_tokens(params, prompts[0], 9)
+    toks1, _ = engine.result(rids[1])
+    assert len(toks1) == 7 and all(0 <= t < 128 for t in toks1)
+    toks2, _ = engine.result(rids[2])
+    assert toks2 == _reference_tokens(params, prompts[2], 6)
+
+    with pytest.raises(ValueError, match="min_p"):
+        engine.submit(prompts[0], 4, temp=0.5, min_p=0.1)
