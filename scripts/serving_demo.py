@@ -71,12 +71,13 @@ def main():
             engine.cancel(victim)  # mid-flight cancellation
     dt = time.perf_counter() - t0
 
-    done = [r for r in rids if engine._requests[r].done]
-    total = sum(len(engine._requests[r].tokens) for r in rids)
+    results = {r: engine.result(r) for r in rids}
+    done = [r for r, (_, d) in results.items() if d]
+    total = sum(len(t) for t, _ in results.values())
     print(f"served {len(done)}/{N_REQUESTS} requests, {total} tokens "
           f"in {dt:.2f}s ({total / dt:.0f} tok/s)")
     print(f"cancelled request {victim}: "
-          f"{len(engine._requests[victim].tokens)} tokens before the cut")
+          f"{len(results[victim][0])} tokens before the cut")
     lp = engine.request_logprobs(rids[0])
     print(f"request {rids[0]} logprobs (first 5): {[round(x, 3) for x in lp[:5]]}")
     for k, v in engine.stats().items():
