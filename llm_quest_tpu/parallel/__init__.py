@@ -8,6 +8,9 @@ collectives (psum for DP grads, all-gather/reduce-scatter for TP).
 
 Axes:
   "data"  — batch sharding (DP); gradients all-reduce over this axis.
+            With ``fsdp_specs`` the same axis also shards parameters and
+            optimizer state ZeRO-3 style (XLA all-gathers at use sites,
+            reduce-scatters the grads).
   "model" — tensor parallelism (TP); attention heads / FFN hidden / vocab
             shard over this axis.
 """
@@ -16,6 +19,7 @@ from llm_quest_tpu.parallel.expert_parallel import capacity_for, ep_qwen3_moe
 from llm_quest_tpu.parallel.mesh import create_mesh, local_mesh_shape
 from llm_quest_tpu.parallel.sharding import (
     batch_sharding,
+    fsdp_specs,
     make_sharded_train_step,
     opt_state_shardings,
     replicated,
@@ -37,5 +41,6 @@ __all__ = [
     "replicated",
     "sharding_rules_gpt2",
     "sharding_rules_llama",
+    "fsdp_specs",
     "make_sharded_train_step",
 ]

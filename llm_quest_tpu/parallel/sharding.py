@@ -86,13 +86,57 @@ def _spec_for(path, rules, leaf=None):
 
 def param_specs(params, rules):
     """PartitionSpec pytree matching params, from path-pattern rules."""
+    if not isinstance(rules, (list, tuple)):
+        return rules  # already a spec pytree (e.g. from fsdp_specs)
     return jax.tree_util.tree_map_with_path(
         lambda path, leaf: _spec_for(path, rules, leaf), params
     )
 
 
+def fsdp_specs(params, rules, mesh, *, axis="data", min_size=None):
+    """ZeRO-3-style fully-sharded specs: compose FSDP over the TP rules.
+
+    Each leaf takes its TP spec from ``rules``, then additionally shards its
+    LARGEST still-unsharded dim over ``axis`` (when divisible by the axis
+    size). Parameters and — through ``shard_opt_state``'s mirroring — both
+    Adam moments then live 1/|axis| per chip; XLA's SPMD partitioner inserts
+    the all-gather at each weight's use site and reduce-scatters the grads,
+    which is exactly the scaling-book FSDP recipe (no hand-written gather
+    schedule — the compiler overlaps them with compute).
+
+    Leaves smaller than ``min_size`` (default: 2 × axis size) stay on their
+    TP spec: gathering a (64,) norm scale costs more in latency than its
+    replication costs in HBM.
+
+    The reference has no distributed training at all (qwen3_moe.py:6-7);
+    this axis is net-new TPU design per SURVEY §2.1.
+    """
+    n = mesh.shape[axis]
+    if min_size is None:
+        min_size = 2 * n
+
+    def one(path, leaf):
+        spec = _spec_for(path, rules, leaf)
+        if leaf.size < min_size:
+            return spec
+        entries = list(spec) + [None] * (leaf.ndim - len(spec))
+        # largest dim that is unsharded and divisible by the fsdp axis
+        cands = [
+            d for d in range(leaf.ndim)
+            if entries[d] is None and leaf.shape[d] % n == 0
+        ]
+        if not cands:
+            return spec
+        d = max(cands, key=lambda i: leaf.shape[i])
+        entries[d] = axis
+        return P(*entries)
+
+    return jax.tree_util.tree_map_with_path(one, params)
+
+
 def shard_params(params, mesh, rules):
-    """Place a params pytree onto the mesh per the rules."""
+    """Place a params pytree onto the mesh per the rules (a regex rule list
+    or a PartitionSpec pytree from ``fsdp_specs``)."""
     specs = param_specs(params, rules)
     return jax.tree_util.tree_map(
         lambda x, spec: jax.device_put(x, NamedSharding(mesh, spec)), params, specs

@@ -682,3 +682,55 @@ def test_ep_model_level_deepseek_and_mimo(mesh8):
         assert float(jnp.max(jnp.abs(ref_logits - got_logits))) < 2e-4, model.__name__
         for rc, gc in zip(ref_aux["moe_counts"], got_aux["moe_counts"]):
             assert jnp.array_equal(rc, gc), model.__name__
+
+
+def test_fsdp_train_step_matches_replicated(mesh8):
+    """ZeRO-3 FSDP: params AND Adam moments fully sharded over "data"
+    (composed with TP over "model"); XLA inserts the use-site all-gathers
+    and grad reduce-scatters. One train step matches the replicated step,
+    and the big leaves are verifiably distributed 1/8 per chip."""
+    import numpy as np
+
+    from llm_quest_tpu.parallel import fsdp_specs, make_sharded_train_step, shard_opt_state
+    from llm_quest_tpu.parallel.sharding import shard_batch
+    from llm_quest_tpu.training.engine import make_optimizer
+
+    params = gpt2.init(jax.random.PRNGKey(0), TINY)
+    optimizer = make_optimizer(1e-3)
+    specs = fsdp_specs(params, sharding_rules_gpt2, mesh8)
+    P = jax.sharding.PartitionSpec
+    # TP spec (None, "model") gains "data" on the unsharded dim
+    assert specs["blocks"][0]["att"]["wq"]["w"] == P("data", "model")
+    # replicated TP spec () gains "data" on the largest dim — ZeRO-3 shards
+    # even 1-D leaves; min_size keeps small ones replicated when asked
+    assert specs["blocks"][0]["ffn"]["fc"]["b"] == P("data")
+    assert specs["final_ln"]["scale"] == P("data")
+    coarse = fsdp_specs(params, sharding_rules_gpt2, mesh8, min_size=256)
+    assert coarse["final_ln"]["scale"] == P()
+
+    train_step, _ = make_sharded_train_step(gpt2, TINY, optimizer, mesh8, specs)
+    ids = jnp.asarray(np.random.default_rng(0).integers(0, 256, (8, 32)), jnp.int32)
+    batch = {"input_ids": ids, "targets": jnp.roll(ids, -1, 1),
+             "attn_mask": jnp.ones((8, 32), bool)}
+    ref_params, _, ref_loss = train_step(
+        jax.tree.map(jnp.copy, params), optimizer.init(params), dict(batch)
+    )
+    with mesh8:
+        sp = shard_params(params, mesh8, specs)
+        st = shard_opt_state(optimizer, sp, mesh8)
+        new_params, new_state, loss = train_step(sp, st, shard_batch(batch, mesh8))
+        jax.block_until_ready(loss)
+
+    assert abs(float(loss) - float(ref_loss)) < 1e-4
+    wq_ref = ref_params["blocks"][0]["att"]["wq"]["w"]
+    wq = new_params["blocks"][0]["att"]["wq"]["w"]
+    assert float(jnp.max(jnp.abs(jnp.asarray(wq) - wq_ref))) < 1e-4
+
+    # the updated param is STILL fully sharded (1/8 of the array per chip) ...
+    assert wq.sharding.spec == P("data", "model")
+    assert wq.addressable_shards[0].data.size * 8 == wq.size
+    # ... and the Adam moments mirror it (ZeRO optimizer-state sharding)
+    adam = [s for s in jax.tree.leaves(new_state, is_leaf=lambda x: hasattr(x, "mu"))
+            if hasattr(s, "mu")]
+    assert adam, "no Adam state found in optimizer chain"
+    assert adam[0].mu["blocks"][0]["att"]["wq"]["w"].sharding.spec == P("data", "model")
