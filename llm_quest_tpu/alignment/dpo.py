@@ -87,12 +87,19 @@ def make_dpo_train_step(model, cfg, optimizer, *, beta=0.1, label_smoothing=0.0)
 
 
 def dpo_evaluate(model, cfg, policy_params, reference_params, loader, *, beta=0.1, num_batches=None):
-    """Mean loss / reward margin over a loader (reference: DPOEvaluator :142-225)."""
+    """Mean loss / reward margin over a loader (reference: DPOEvaluator :142-225).
+
+    The four forwards + loss run as ONE jitted program per batch shape —
+    traced once per call, reused across the loader (collators emit fixed
+    shapes, so one trace covers all batches)."""
     batches = list(loader) if not isinstance(loader, list) else loader
     n = len(batches) if num_batches is None else min(num_batches, len(batches))
+    fwd = jax.jit(
+        lambda pp, rp, batch: dpo_forward(model, cfg, pp, rp, batch, beta=beta)
+    )
     tot_loss, tot_margin = 0.0, 0.0
     for batch in batches[:n]:
-        loss, cr, rr = dpo_forward(model, cfg, policy_params, reference_params, batch, beta=beta)
+        loss, cr, rr = fwd(policy_params, reference_params, batch)
         tot_loss += float(loss)
         tot_margin += float(cr - rr)
     return tot_loss / max(n, 1), tot_margin / max(n, 1)

@@ -101,18 +101,27 @@ def make_rm_train_step(cfg, optimizer, *, readout="scores_mean_pooling", beta=1.
 
 
 def rm_evaluate(params, cfg, loader, *, readout="scores_mean_pooling", num_batches=None):
-    """(mean loss, accuracy) (reference: grpo_engine.py:189-246)."""
+    """(mean loss, accuracy) (reference: grpo_engine.py:189-246).
+
+    Both RM forwards + BT loss + accuracy count run as ONE jitted program
+    per batch shape — traced once, reused across the loader."""
     batches = list(loader) if not isinstance(loader, list) else loader
     n = len(batches) if num_batches is None else min(num_batches, len(batches))
+
+    @jax.jit
+    def eval_batch(p, batch):
+        chosen = reward_model_apply(p, cfg, batch["chosen"], attn_mask=batch["chosen_attn_mask"],
+                                    reward_mask=batch["chosen_mask"], readout=readout)
+        rejected = reward_model_apply(p, cfg, batch["rejected"], attn_mask=batch["rejected_attn_mask"],
+                                      reward_mask=batch["rejected_mask"], readout=readout)
+        return bt_loss(chosen, rejected), jnp.sum(chosen > rejected)
+
     tot_loss, correct, seen = 0.0, 0, 0
     for batch in batches[:n]:
-        chosen = reward_model_apply(params, cfg, batch["chosen"], attn_mask=batch["chosen_attn_mask"],
-                                    reward_mask=batch["chosen_mask"], readout=readout)
-        rejected = reward_model_apply(params, cfg, batch["rejected"], attn_mask=batch["rejected_attn_mask"],
-                                      reward_mask=batch["rejected_mask"], readout=readout)
-        tot_loss += float(bt_loss(chosen, rejected))
-        correct += int(jnp.sum(chosen > rejected))
-        seen += chosen.shape[0]
+        loss, n_correct = eval_batch(params, batch)
+        tot_loss += float(loss)
+        correct += int(n_correct)
+        seen += batch["chosen"].shape[0]
     return tot_loss / max(n, 1), correct / max(seen, 1)
 
 

@@ -64,8 +64,9 @@ def mtp_evaluate(model, cfg, params, loader, num_batches=None):
     deepseek_engine.py:150-218, mimo_v2_flash_engine.py:70-115)."""
     batches = list(loader) if not isinstance(loader, list) else loader
     n = len(batches) if num_batches is None else min(num_batches, len(batches))
+    # one jitted forward per batch shape (traced once, reused over the loader)
+    fwd = jax.jit(lambda p, ids, tgt: model.loss(p, cfg, ids, tgt, training=False)[0])
     total = 0.0
     for batch in batches[:n]:
-        loss, _ = model.loss(params, cfg, batch["input_ids"], batch["targets"], training=False)
-        total += float(loss)
+        total += float(fwd(params, batch["input_ids"], batch["targets"]))
     return total / max(n, 1)

@@ -35,33 +35,44 @@ def device_memory_gb(device=None):
 
 
 class ThroughputMeter:
-    """Interval + cumulative tokens/sec tracking (engine.py:270-374)."""
+    """Interval + cumulative tokens/sec tracking (engine.py:270-374).
 
-    def __init__(self):
+    Pass ``flops_per_token`` (e.g. from training.flops.text_train_flops_per
+    _token) to get an ``mfu`` field next to every tok/s — the TPU-native
+    completion of the reference's raw-tok/s instrumentation."""
+
+    def __init__(self, flops_per_token=None):
         self.t0 = time.perf_counter()
         self.t_last = self.t0
         self.tokens_total = 0
         self.tokens_interval = 0
+        self.flops_per_token = flops_per_token
 
     def update(self, num_tokens):
         self.tokens_total += num_tokens
         self.tokens_interval += num_tokens
 
     def report(self):
-        """Returns dict with interval/cumulative tok/s + memory; resets the
-        interval window."""
+        """Returns dict with interval/cumulative tok/s + memory (+ mfu when
+        flops_per_token was given); resets the interval window."""
         now = time.perf_counter()
         interval = self.tokens_interval / max(now - self.t_last, 1e-9)
         cumulative = self.tokens_total / max(now - self.t0, 1e-9)
         self.t_last = now
         self.tokens_interval = 0
         alloc, limit = device_memory_gb()
-        return {
+        out = {
             "tok_s_interval": interval,
             "tok_s_cumulative": cumulative,
             "mem_gb_allocated": alloc,
             "mem_gb_limit": limit,
         }
+        if self.flops_per_token is not None:
+            from llm_quest_tpu.training.flops import mfu
+
+            out["mfu_interval"] = mfu(interval, self.flops_per_token)
+            out["mfu_cumulative"] = mfu(cumulative, self.flops_per_token)
+        return out
 
 
 @contextlib.contextmanager

@@ -17,6 +17,7 @@ import numpy as np
 
 from llm_quest_tpu import config
 from llm_quest_tpu.models import qwen3_next
+from llm_quest_tpu.training import flops as F
 from llm_quest_tpu.training.engine import make_optimizer, make_train_step
 
 B, S = 4, 2048
@@ -43,8 +44,9 @@ def bench(cfg, label):
     float(loss)  # the loss depends on the whole step chain — one true sync
     dt = (time.perf_counter() - t0) / N_STEPS
     toks = B * S / dt
+    mfu = F.mfu(toks, F.text_train_flops_per_token(cfg, seq_len=S))
     print(f"{label:36s} {dt*1e3:7.1f} ms/step  {toks:9,.0f} tok/s/chip  "
-          f"loss {float(loss):.3f}  ({n_params/1e6:.0f}M params)", flush=True)
+          f"MFU {mfu:.1%}  loss {float(loss):.3f}  ({n_params/1e6:.0f}M params)", flush=True)
     return toks
 
 

@@ -270,3 +270,38 @@ def test_async_checkpoint_overlaps_training(tmp_path):
     save_checkpoint(path, params, step=4, blocking=False)
     wait_for_saves()
     assert int(load_checkpoint(path)["step"]) == 4
+
+
+def test_flops_accounting_sane():
+    """Analytic FLOPs cross-checked against the 2·N-params rule of thumb
+    and known published magnitudes (ViT-B/16 @224 ≈ 17.6 GMACs = 35 GFLOPs)."""
+    import jax
+    import jax.numpy as jnp
+
+    from llm_quest_tpu import config
+    from llm_quest_tpu.models import qwen3_5
+    from llm_quest_tpu.training import flops as F
+
+    vit = F.vit_flops_per_image(dict(config.VIT_BASE_CONFIG))
+    assert 33e9 < vit < 38e9, vit
+
+    cfg = dict(config.QWEN3_5_08B_CONFIG)
+    f = F.text_forward_flops_per_token(cfg, kv_len=64)
+    params = qwen3_5.init_text(
+        jax.random.PRNGKey(0), dict(cfg, dtype=jnp.bfloat16, n_layers=2)
+    )
+    # full-depth param count from the 2-layer init (cheap): emb + L·per-layer
+    n2 = sum(x.size for x in jax.tree.leaves(params))
+    emb = cfg["vocab_size"] * cfg["emb_dim"]
+    n_full = emb + (n2 - emb) * cfg["n_layers"] // 2
+    # matmul FLOPs/token ≈ 2(N−emb) + 2·emb (head): within 15% of analytic
+    approx = 2 * (n_full - emb) + 2 * emb
+    assert abs(f - approx) / approx < 0.15, (f, approx)
+
+    # train step = 3× forward
+    assert F.text_train_flops_per_token(cfg, seq_len=128) == 3 * F.text_forward_flops_per_token(cfg, kv_len=64)
+
+    # MFU/MBU are monotone in rate and bounded sanely at known points
+    assert 0.6 < F.mfu(3800, vit) < 0.75
+    bytes_tok = F.decode_bytes_per_token(params, dict(cfg, n_layers=2), kv_len=64)
+    assert bytes_tok > F.param_bytes(params)  # weights + per-seq cache read

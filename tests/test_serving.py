@@ -244,6 +244,7 @@ def test_serving_sharded_on_mesh(params):
     assert tuple(engine.state["cache"]["k"].sharding.spec)[:3] == (None, "data", "model")
 
 
+@pytest.mark.slow
 def test_serving_sharded_int8_kv_flash_decode_on_mesh():
     """Multi-chip serving KEEPS the kernels: int8 KV cache + flash-decode
     Pallas kernel running head-sharded inside shard_map (each chip streams
@@ -307,6 +308,7 @@ def test_serving_prefix_caching(params):
     assert outs[-1] == _reference_tokens(params, plain, 6)
 
 
+@pytest.mark.slow
 def test_serving_prefix_caching_two_prefixes_and_budget():
     """Two different registered prefixes interleave in one workload; suffix
     budget validation accounts for the prefix length."""
@@ -339,6 +341,7 @@ def test_serving_prefix_caching_two_prefixes_and_budget():
         engine.submit(rng.integers(1, 128, size=8).tolist(), 30, prefix=ib)
 
 
+@pytest.mark.slow
 def test_serving_prefix_caching_hybrid():
     """Hybrid (GDN + attention) prefix caching: the suffix prefill resumes
     the conv taps (causal_conv1d_seeded) and recurrent state exactly —
@@ -369,6 +372,7 @@ def test_serving_prefix_caching_hybrid():
         assert got == ref, (sfx, got, ref)
 
 
+@pytest.mark.slow
 def test_serving_prefix_caching_on_mesh(params):
     """Prefix caching composes with multi-chip serving: registered-prefix
     requests through the TP/DP-sharded engine match full-prompt references."""
@@ -474,6 +478,7 @@ def test_serving_stats(params):
         assert r.t_submit <= r.t_admit <= r.t_first <= r.t_done
 
 
+@pytest.mark.slow
 def test_serving_prefix_plus_multimodal():
     """The canonical VLM serving shape — shared text system prompt +
     per-request image suffix: prefix-cached multimodal requests are
@@ -517,6 +522,7 @@ def test_serving_prefix_plus_multimodal():
         engine.register_prefix([1, VLM_CFG["image_token_id"], 2])
 
 
+@pytest.mark.slow
 def test_serving_hybrid_on_mesh():
     """The hybrid (GDN + attention) serves mesh-sharded: GDN conv/recurrent
     states shard like the KV pool (slots over "data", value heads over
@@ -642,6 +648,7 @@ def test_serving_chunked_prefill_admission(params):
     assert got == ref, (got, ref)
 
 
+@pytest.mark.slow
 def test_serving_speculative_stochastic(params):
     """temp>0 speculative serving: with draft == target the acceptance
     ratio p/q is exactly 1, so every window fully accepts (reference
@@ -670,6 +677,7 @@ def test_serving_speculative_stochastic(params):
     assert all(0 <= t < 128 for o in outs2 for t in o)
 
 
+@pytest.mark.slow
 def test_serving_speculative_with_prefix(params):
     """Prefix caching composes with speculative serving: both the target
     and draft pool caches seed from their registered prefix rows; greedy
@@ -727,6 +735,7 @@ _MIMO_TINY = {
     [("gpt2", _GPT2_TINY), ("llama3", _LLAMA_TINY), ("gemma3", _GEMMA_TINY),
      ("deepseek_v3", _DSV3_TINY), ("mimo_v2_flash", _MIMO_TINY)],
 )
+@pytest.mark.slow
 def test_serving_every_model_family(family, cfg):
     """The engine is model-generic: every cached-decode architecture
     (learned-pos GPT-2, GQA Llama, SWA-alternating Gemma, MLA DeepSeek,
@@ -801,6 +810,7 @@ def test_serving_multi_lora(params):
         assert got == ref, (a, p, got, ref)
 
 
+@pytest.mark.slow
 def test_serving_speculative_on_mesh(params):
     """Speculative serving runs SHARDED: target and draft pools both
     distribute over the (data=4, model=2) mesh (slots over "data", KV heads
@@ -836,6 +846,7 @@ def test_serving_speculative_on_mesh(params):
     assert tuple(engine.state["d_cache"]["k"].sharding.spec)[:2] == (None, "data")
 
 
+@pytest.mark.slow
 def test_serving_multi_lora_with_prefix(params):
     """Per-tenant "system prompt + adapter": register_prefix(adapter=j)
     prefills the shared prefix THROUGH adapter j; suffix requests on that
@@ -933,6 +944,7 @@ def test_serving_per_request_sampling(params):
         engine.submit(prompts[0], 4, top_p=0.9, min_p=0.1)
 
 
+@pytest.mark.slow
 def test_serving_per_request_sampling_with_lora(params):
     """Per-request sampling + multi-LoRA in one pool: a greedy request on
     adapter 0 matches the plain engine on the adapter merged dense."""
@@ -1002,6 +1014,7 @@ def test_serving_returns_logprobs(params):
             assert abs(lp - want) < 2e-4, (i, lp, want)
 
 
+@pytest.mark.slow
 def test_serving_moe_model_on_mesh():
     """A MoE model serves sharded: expert stacks distribute over "model"
     (the implicit weights-sharded EP path), slots over "data"; greedy
@@ -1044,6 +1057,7 @@ def test_serving_moe_model_on_mesh():
         assert got == ref(ids, mg), (ids, got)
 
 
+@pytest.mark.slow
 def test_serving_moe_explicit_ep_on_mesh():
     """EXPLICIT expert parallelism in the production decode path: the
     engine serves a MoE model with cfg["expert_parallel"] — every admit
@@ -1115,6 +1129,7 @@ def test_serving_cancel(params):
     assert len(engine._requests[rids[1]].tokens) < 10  # cut short mid-flight
 
 
+@pytest.mark.slow
 def test_serving_multi_lora_over_int8_base(params):
     """Multi-LoRA over a weight-only INT8 base checkpoint (the standard
     production deployment): replace_with_lora wraps quantized linears, the
@@ -1162,6 +1177,7 @@ def test_serving_multi_lora_over_int8_base(params):
     assert outs[1] == ref1  # null adapter == dequantized base
 
 
+@pytest.mark.slow
 def test_serving_multi_lora_chunked_prefill(params):
     """Long prompts (chunked-prefill admission) compose with multi-LoRA:
     adapter requests beyond the largest bucket prefill chunk by chunk
@@ -1209,6 +1225,7 @@ def test_serving_multi_lora_chunked_prefill(params):
     assert outs[0] != base_long
 
 
+@pytest.mark.slow
 def test_serving_multimodal_with_lora():
     """Multimodal + multi-LoRA: an image request through adapter 0 (text
     layers wrapped) equals generate_multimodal on the dense-merged params;
@@ -1280,6 +1297,7 @@ def test_serving_multimodal_with_lora():
     assert engine._requests[r2].tokens == ref2
 
 
+@pytest.mark.slow
 def test_serving_speculative_with_lora(params):
     """Speculative serving composes with multi-LoRA: the TARGET verifies
     through each slot's adapter (draft stays base — lossless regardless of
@@ -1339,6 +1357,7 @@ def test_serving_speculative_with_lora(params):
     assert got == ref
 
 
+@pytest.mark.slow
 def test_serving_speculative_chunked_prefill(params):
     """Long prompts + speculative decode: chunked-prefill admission fills
     BOTH pool caches; greedy tokens equal the plain engine (lossless)."""
@@ -1359,6 +1378,7 @@ def test_serving_speculative_chunked_prefill(params):
         assert got == _reference_tokens(params, ids, mg), (len(ids), got)
 
 
+@pytest.mark.slow
 def test_serving_speculative_per_request_sampling(params):
     """Per-request sampling inside SPECULATIVE serving: greedy-override
     requests use exact-match acceptance and match the plain greedy engine
