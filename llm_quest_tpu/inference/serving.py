@@ -180,6 +180,23 @@ class _Request:
 _SERVE_JIT_CACHE = {}
 
 
+def _maybe_pin_group_cache(cfg, grp_cache, k):
+    """Pin the admit-wave scratch cache to the pool's sharding convention
+    (rows→"data", heads→"model") on mesh engines. Without this, GSPMD is
+    free to pick a conflicting layout for the group cache (e.g. rows over
+    ALL devices, propagated from the expert-parallel token sharding) and
+    then 'involuntarily fully rematerializes' — replicates + repartitions —
+    every per-layer cache write against the head-sharded attention reads.
+    The multichip dryrun fails on that warning (__graft_entry__)."""
+    ms = cfg.get("head_shard") or cfg.get("expert_parallel")
+    if ms is None:
+        return grp_cache
+    return jax.tree.map(
+        lax.with_sharding_constraint,
+        grp_cache, pool_state_shardings(grp_cache, ms["mesh"], k),
+    )
+
+
 def _admit_impl(model, _frozen, cfg, n_slots, max_len, cache_dtype,
                 params, state, prompts, pmasks, slots, budgets):
     """Admit k requests in ONE program: prefill them as a b=k batch on a
@@ -187,11 +204,14 @@ def _admit_impl(model, _frozen, cfg, n_slots, max_len, cache_dtype,
     Batching admissions is what keeps the scheduler viable over a
     high-RTT host link (one dispatch per wave, not per request)."""
     k, lb = prompts.shape
-    grp_cache = model.init_cache(cfg, k, max_len, dtype=cache_dtype)
+    grp_cache = _maybe_pin_group_cache(
+        cfg, model.init_cache(cfg, k, max_len, dtype=cache_dtype), k
+    )
     grp_mask = jnp.zeros((k, max_len), bool).at[:, :lb].set(pmasks)
     logits_all, grp_cache, _ = model.apply(
         params, cfg, prompts, attn_mask=grp_mask, cache=grp_cache
     )
+    grp_cache = _maybe_pin_group_cache(cfg, grp_cache, k)
     real_len = jnp.sum(pmasks, axis=1).astype(jnp.int32)  # (k,)
     logits = logits_all[jnp.arange(k), real_len - 1]  # (k, v)
     # per-row column pointer = REAL length, not the bucket: decode overwrites
@@ -987,6 +1007,12 @@ class ContinuousBatchingEngine:
             if n_slots % n_all:
                 raise ValueError(f"n_slots {n_slots} must divide over {n_all} EP devices")
             self._wave_multiple = n_all
+            # pin the MoE-region exit back to data-only batch sharding:
+            # without it GSPMD propagates the (data×ep) token layout into
+            # the pool cache's dynamic_update_slice and involuntarily fully
+            # rematerializes the cache every chunk (expert_parallel.py
+            # docstring; training deliberately does NOT set this)
+            cfg = dict(cfg, expert_parallel=dict(ep, pin_output=True))
         self.model, self.params, self.cfg = model, params, cfg
         self.n_slots, self.max_len = n_slots, max_len
         self.decode_chunk = decode_chunk

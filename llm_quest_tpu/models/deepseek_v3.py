@@ -182,6 +182,7 @@ def _block(block, cfg, h, mask, cos, sin, cache, layer_idx, position_ids, attn_m
                 capacity_factor=ep.get("capacity_factor"),
                 ep_axis=ep.get("ep_axis", "model"),
                 data_axis=ep.get("data_axis", "data"),
+                pin_output=ep.get("pin_output", False),
             )
         else:
             ffn_out, aux = moe_ops.deepseek_moe(block["moe"], hn, top_k=cfg["top_k"])

@@ -197,6 +197,7 @@ def apply(
                         ep_axis=ep.get("ep_axis", "model"),
                         data_axis=ep.get("data_axis", "data"),
                         training=training,
+                        pin_output=ep.get("pin_output", False),
                     )
                 else:
                     ffn_out, moe_aux = moe_ops.qwen3_moe(

@@ -48,6 +48,41 @@ def _round_up(n, m):
     return ((n + m - 1) // m) * m
 
 
+def _run_region_pinned(run, mesh, params, x, data_axis, ep_axis, pin_output):
+    """Call the EP shard_map with explicit sharding constraints at the
+    region boundary: tokens enter (data×ep)-sharded; with ``pin_output``
+    they LEAVE data-only-sharded.
+
+    The exit pin is OPT-IN (the serving engine sets it) because the two
+    callers want opposite things:
+
+    - TRAINING wants the residual stream to STAY (data×ep)-batch-sharded
+      between MoE layers — every device keeps working on its token shard
+      and the 2-all-to-all pattern is the only EP communication. Pinning
+      the exit would all-gather activations over ep after every MoE layer
+      for nothing.
+    - SERVING decode pins the KV-cache pool (slots→"data", heads→"model").
+      Without the exit pin, GSPMD propagates the (data, ep) batch sharding
+      from the shard_map boundary backward through the residual stream to
+      the cache `dynamic_update_slice`, and the partitioner falls back to
+      "involuntary full rematerialization" — replicate + repartition the
+      cache EVERY chunk. There the boundary reshard of (b, s, d)
+      activations is cheap next to a cache round-trip; the multichip
+      dryrun FAILS on that warning (__graft_entry__.dryrun_multichip), so
+      a regression cannot land silently."""
+    from jax.sharding import NamedSharding
+
+    x = lax.with_sharding_constraint(
+        x, NamedSharding(mesh, P((data_axis, ep_axis), None, None))
+    )
+    out, aux = run(params, x)
+    if pin_output:
+        out = lax.with_sharding_constraint(
+            out, NamedSharding(mesh, P(data_axis, None, None))
+        )
+    return out, aux
+
+
 def capacity_for(tokens_local, top_k, num_experts, capacity_factor):
     """Static per-expert buffer capacity. ``None`` → lossless (every
     assignment fits even if all tokens pick the same expert)."""
@@ -136,6 +171,7 @@ def ep_deepseek_moe(
     capacity_factor=None,
     ep_axis="model",
     data_axis="data",
+    pin_output=False,
     activation=silu,
 ):
     """DeepSeekMoE through the explicit EP dispatch: shared + routed experts,
@@ -198,7 +234,7 @@ def ep_deepseek_moe(
         counts = lax.psum(counts_local, (data_axis, ep_axis))
         return out2d.reshape(b_loc, s, d), {"counts": counts, "max_vio": max_violation(counts)}
 
-    return run(params, x)
+    return _run_region_pinned(run, mesh, params, x, data_axis, ep_axis, pin_output)
 
 
 def ep_qwen3_moe(
@@ -212,6 +248,7 @@ def ep_qwen3_moe(
     ep_axis="model",
     data_axis="data",
     training=True,
+    pin_output=False,
     activation=silu,
 ):
     """Qwen3-flavor MoE (LBL aux loss, optional sigmoid-weighted shared
@@ -289,4 +326,4 @@ def ep_qwen3_moe(
 
         return out2d.reshape(b_loc, s, d), aux
 
-    return run(params, x)
+    return _run_region_pinned(run, mesh, params, x, data_axis, ep_axis, pin_output)
