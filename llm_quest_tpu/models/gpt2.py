@@ -88,6 +88,40 @@ def _attention(params, cfg, x, mask, cache, layer_idx, rng, deterministic, attn_
     return out, cache
 
 
+def _pipeline_blocks(params, cfg, pp, h):
+    """GPipe pipeline-parallel block stack (cfg["pipeline_parallel"] =
+    {"mesh", "axis", "n_microbatches"}): blocks stacked (n_stages,
+    layers_per_stage, ...) over the stage axis, microbatches streamed via
+    ppermute (parallel/pipeline.py). Differentiable — the same path serves
+    training (dryrun step (j) asserts loss parity vs the sequential stack).
+
+    Reference: single-device `for block in self.trf_blocks`
+    (gpt_model.py:101-102); PP is the net-new TPU axis SURVEY §2.1 lists
+    for when the layer stack exceeds one chip's HBM."""
+    from llm_quest_tpu.parallel.pipeline import pipeline_apply, stack_stages
+
+    mesh, axis = pp["mesh"], pp.get("axis", "model")
+    n_stages = mesh.shape[axis]
+    s = h.shape[1]
+
+    def block_fn(bp, hh):
+        # mask depends only on static shapes here (attn_mask is rejected on
+        # the PP path) — recompute per block instead of capturing a traced
+        # array inside shard_map
+        mask = causal_mask(s, s)
+        hn = layer_norm(bp["ln_1"], hh)
+        att_out, _ = _attention(bp["att"], cfg, hn, mask, None, 0, None, True)
+        hh = hh + att_out
+        hn = layer_norm(bp["ln_2"], hh)
+        return hh + mlp_gelu(bp["ffn"], hn)
+
+    stacked = stack_stages(params["blocks"], n_stages)
+    return pipeline_apply(
+        mesh, axis, block_fn, stacked, h,
+        n_microbatches=pp.get("n_microbatches", n_stages),
+    )
+
+
 def apply(
     params,
     cfg,
@@ -127,6 +161,15 @@ def apply(
 
     k_len = kvc.max_len(cache) if cache is not None else s
     mask = causal_mask(s, k_len, q_start=pos0, attn_mask=attn_mask)
+
+    pp = cfg.get("pipeline_parallel")
+    if pp is not None:
+        assert cache is None and attn_mask is None and drop == 0.0, (
+            "pipeline_parallel supports the full-sequence training/eval "
+            "forward (no cache, no padding mask, no dropout)")
+        h = _pipeline_blocks(params, cfg, pp, h)
+        h = layer_norm(params["final_ln"], h)
+        return linear(params["out"], h), None, {}
 
     for i, block in enumerate(params["blocks"]):
         r_att = rngs[1 + 2 * i] if rngs is not None else None

@@ -734,3 +734,37 @@ def test_fsdp_train_step_matches_replicated(mesh8):
             if hasattr(s, "mu")]
     assert adam, "no Adam state found in optimizer chain"
     assert adam[0].mu["blocks"][0]["att"]["wq"]["w"].sharding.spec == P("data", "model")
+
+
+def test_gpt2_pipeline_parallel_matches_sequential(mesh8):
+    """cfg["pipeline_parallel"] on GPT-2: logits + grads match the
+    sequential block loop (dryrun step (j) is the same check at entry)."""
+    import numpy as np
+
+    cfg = dict(TINY, n_layers=4)
+    params = gpt2.init(jax.random.PRNGKey(0), cfg)
+    ids = jnp.asarray(np.random.default_rng(0).integers(0, 256, (4, 16)), jnp.int32)
+    tgt = jnp.roll(ids, -1, 1)
+
+    def loss(p, c):
+        logits, _, _ = gpt2.apply(p, c, ids)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        return -jnp.mean(jnp.take_along_axis(logp, tgt[..., None], axis=-1))
+
+    ref_logits = gpt2.apply(params, cfg, ids)[0]
+    ref_loss, ref_grads = jax.value_and_grad(loss)(params, cfg)
+
+    pp_cfg = dict(cfg, pipeline_parallel={"mesh": mesh8, "axis": "model", "n_microbatches": 2})
+    with mesh8:
+        pp_logits = jax.jit(lambda p: gpt2.apply(p, pp_cfg, ids)[0])(params)
+        pp_loss, pp_grads = jax.jit(jax.value_and_grad(lambda p: loss(p, pp_cfg)))(params)
+
+    assert jnp.allclose(ref_logits, pp_logits, atol=1e-5), float(
+        jnp.abs(ref_logits - pp_logits).max()
+    )
+    assert abs(float(ref_loss) - float(pp_loss)) < 1e-5
+    gmax = max(
+        float(jnp.max(jnp.abs(a - b)))
+        for a, b in zip(jax.tree.leaves(ref_grads), jax.tree.leaves(pp_grads))
+    )
+    assert gmax < 5e-5, gmax
