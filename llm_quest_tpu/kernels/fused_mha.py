@@ -321,6 +321,86 @@ def _packed_mha_int8_impl(q, k, v, *, n_heads, scale=None, imgs=8, interpret=Fal
     return out[:, :s, :]
 
 
+def _packed_mha_int8_ik_kernel(q_ref, k_ref, v_ref, o_ref, *,
+                               scale, s_real, head_dim, imgs, q_s, k_s):
+    """In-kernel-quantize variant: q/k arrive BF16 (no int8 HBM round-trip
+    anywhere — projections write bf16 exactly as the bf16 path does), the
+    kernel rounds/clips them to int8 in VMEM with STATIC calibrated scales
+    (compile-time constants), and the score dots run on the MXU int8 path.
+
+    This is the one remaining untried shape from the round-3 int8 ablation
+    (the fused-epilogue form lost its core win to quantize HBM traffic):
+    total HBM traffic here is IDENTICAL to the bf16 kernel, so the
+    experiment isolates whether the VPU quantize + int8 relayout cost in
+    VMEM is smaller than the 1.59× int8-vs-bf16 MXU rate gain at the
+    (s≈208, K=64) score shape. Measured end-to-end by
+    scripts/ablate_int8_scores.py --inkernel; verdict in COVERAGE.md."""
+    s_pad = q_ref.shape[1]
+    col2d = lax.broadcasted_iota(jnp.int32, (s_pad, s_pad), 1)
+    key_pad_mask = col2d >= s_real
+    row1d = lax.broadcasted_iota(jnp.int32, (s_pad, 1), 0)
+    v_row_valid = row1d < s_real
+    dq_scale = q_s * k_s * scale
+
+    qi = jnp.clip(jnp.round(q_ref[...].astype(jnp.float32) * (1.0 / q_s)),
+                  -127, 127).astype(jnp.int8)  # (imgs, s, 128) VMEM-local
+    ki = jnp.clip(jnp.round(k_ref[...].astype(jnp.float32) * (1.0 / k_s)),
+                  -127, 127).astype(jnp.int8)
+    v_slab = jnp.where(v_row_valid[None], v_ref[...], 0).astype(v_ref.dtype)
+    outs = []
+    for t in range(128 // head_dim):
+        hsl = slice(t * head_dim, (t + 1) * head_dim)
+        qh, kh, vh = qi[:, :, hsl], ki[:, :, hsl], v_slab[:, :, hsl]
+        s32 = lax.dot_general(
+            qh, kh, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.int32
+        )
+        scores = s32.astype(jnp.float32) * dq_scale
+        scores = jnp.where(key_pad_mask[None], NEG_INF, scores)
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        p = jnp.exp(scores - m)
+        den = jnp.sum(p, axis=-1, keepdims=True)
+        oh = lax.dot_general(
+            p.astype(vh.dtype), vh, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )
+        outs.append(oh / den)
+    o_ref[...] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_heads", "scale", "imgs", "interpret", "static_scales")
+)
+def packed_mha_int8_inkernel(q, k, v, *, n_heads, static_scales, scale=None, imgs=8,
+                             interpret=False):
+    """Forward-only experiment entry for the in-kernel-quantize int8 kernel
+    (see _packed_mha_int8_ik_kernel). q/k/v: bf16 packed (b, s, h·d);
+    static_scales = calibrated (q_scale, k_scale) floats."""
+    b, s, hd = q.shape
+    d = hd // n_heads
+    assert 128 % d == 0 and hd % 128 == 0, (n_heads, d, hd)
+    if scale is None:
+        scale = d**-0.5
+    s_pad = -(-s // 16) * 16
+    if b % imgs:
+        imgs = next(g for g in range(min(imgs, b), 0, -1) if b % g == 0)
+    if s_pad != s:
+        pad = ((0, 0), (0, s_pad - s), (0, 0))
+        q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
+
+    spec = pl.BlockSpec((imgs, s_pad, 128), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(
+            _packed_mha_int8_ik_kernel, scale=float(scale), s_real=s, head_dim=d,
+            imgs=imgs, q_s=float(static_scales[0]), k_s=float(static_scales[1]),
+        ),
+        grid=(b // imgs, hd // 128),
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((b, s_pad, hd), q.dtype),
+        interpret=interpret,
+    )(q, k, v)
+    return out[:, :s, :]
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def packed_mha_int8(q, k, v, n_heads, scale=None, interpret=False, static_scales=None):
     """Int8-score packed MHA (see _packed_mha_int8_kernel). Differentiable

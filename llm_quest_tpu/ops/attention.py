@@ -318,6 +318,15 @@ def mha_packed(q, k, v, n_heads, *, cfg=None, scale=None, layer_idx=None):
                     scales = tuple(scales[layer_idx if layer_idx is not None else 0])
                 else:
                     scales = tuple(scales)
+            if cfg.get("int8_scores_mode") == "inkernel" and scales is not None:
+                # experiment variant (VERDICT r3 #10): q/k stay bf16 in HBM,
+                # quantize happens VMEM-locally inside the kernel — isolates
+                # the int8 MXU rate gain from quantize HBM traffic
+                from llm_quest_tpu.kernels.fused_mha import packed_mha_int8_inkernel
+
+                return packed_mha_int8_inkernel(
+                    q, k, v, n_heads=n_heads, static_scales=scales, scale=scale
+                )
             return packed_mha_int8(q, k, v, n_heads, scale, False, scales)
         from llm_quest_tpu.kernels.fused_mha import packed_mha
 

@@ -353,3 +353,20 @@ def test_packed_mha_int8_static_scales_and_calibration():
     x = jax.random.normal(jax.random.PRNGKey(4), (2, 3, 32, 32))
     scales = vit.calibrate_int8_scales(params, cfg, x)
     assert len(scales) == 2 and all(len(p) == 2 and p[0] > 0 and p[1] > 0 for p in scales)
+
+
+def test_packed_mha_int8_inkernel_matches_epilogue():
+    """In-kernel-quantize variant (VMEM-local round/clip of bf16 q/k, the
+    round-4 ablation kernel): bit-parity with the epilogue-quantized int8
+    path at the same static scales — same int8 values enter the same dots."""
+    from llm_quest_tpu.kernels.fused_mha import _packed_mha_int8_impl, packed_mha_int8_inkernel
+
+    b, s, h, d = 2, 50, 2, 64
+    q = jax.random.normal(jax.random.PRNGKey(0), (b, s, h * d)) * 0.7
+    k = jax.random.normal(jax.random.PRNGKey(1), (b, s, h * d)) * 0.7
+    v = jax.random.normal(jax.random.PRNGKey(2), (b, s, h * d))
+    scales = (float(jnp.max(jnp.abs(q))) / 127.0, float(jnp.max(jnp.abs(k))) / 127.0)
+
+    ref = _packed_mha_int8_impl(q, k, v, n_heads=h, interpret=INTERPRET, static_scales=scales)
+    got = packed_mha_int8_inkernel(q, k, v, n_heads=h, static_scales=scales, interpret=INTERPRET)
+    assert float(jnp.abs(ref - got).max()) == 0.0
