@@ -221,10 +221,17 @@ def training_eval_loop(
     timing=False,
     checkpoint_every=None,
     checkpoint_path=None,
+    profiler=None,
 ):
     """Full training loop with LR schedule, grad accumulation, clipping and
     periodic evaluation (reference: engine.py:377-466; the ``timing`` flag adds
     the tok/s instrumentation of engine.py:270-374).
+
+    profiler: optional ``profiling.ScheduledProfiler`` — its ``step()`` is
+    called once per optimizer step, capturing wait/warmup/active/repeat
+    scheduled traces (reference: engine.py:499-640's torch.profiler
+    schedule); the loop syncs on the loss before the traced window closes
+    so the trace contains real device work, not queued dispatches.
 
     train_loader / val_loader: iterables (re-iterable) of dict batches with
     "input_ids", "targets", optional "attn_mask" — device arrays or numpy.
@@ -268,6 +275,9 @@ def training_eval_loop(
             micro_step = i + 1 + (epoch - 1) * len(train_batches)
             if micro_step % accumulation_steps == 0:
                 step += 1
+                if profiler is not None:
+                    jax.block_until_ready(loss)  # async dispatches land inside the trace
+                    profiler.step()
                 if step == 1 or step % eval_freq == 0:
                     tr, va = evaluate(train_batches, val_loader, eval_step, params, eval_iter)
                     train_losses.append(tr)

@@ -24,6 +24,65 @@ def profile_trace(logdir, *, with_memory=True):
         jax.profiler.stop_trace()
 
 
+class ScheduledProfiler:
+    """Step-scheduled trace capture — the TPU counterpart of the reference's
+    torch.profiler schedule (engine.py:499-640: wait/warmup/active/repeat
+    with a tensorboard trace handler).
+
+    Call ``step()`` once per training step. Each cycle runs
+    ``wait`` untraced steps, then ``warmup`` untraced steps (their purpose —
+    excluding compile and cache-warm iterations from the capture — is served
+    by not tracing them: XLA compiles on first call, and jax.profiler has no
+    collect-and-discard mode), then traces exactly ``active`` steps into
+    ``logdir/cycle_<k>`` (XPlane, TensorBoard/Perfetto-readable, includes
+    device memory + per-op breakdown — record_shapes/profile_memory are
+    always-on in XPlane). Repeats ``repeat`` times then goes inert
+    (repeat=0 → repeat forever). Use as a context manager (or call
+    ``close()``) so an in-flight trace is finalized on early exit.
+    """
+
+    def __init__(self, logdir, *, wait=2, warmup=2, active=3, repeat=1):
+        assert active >= 1, "active window must trace at least one step"
+        self.logdir = str(logdir)
+        self.wait, self.warmup, self.active, self.repeat = wait, warmup, active, repeat
+        self._i = 0
+        self._cycle = 0
+        self._tracing = False
+
+    @property
+    def cycle_len(self):
+        return self.wait + self.warmup + self.active
+
+    def step(self):
+        """Advance one step; returns True while the profiler is tracing."""
+        if self.repeat and self._cycle >= self.repeat:
+            return False
+        pos = self._i
+        self._i += 1
+        if pos == self.wait + self.warmup and not self._tracing:
+            jax.profiler.start_trace(f"{self.logdir}/cycle_{self._cycle}")
+            self._tracing = True
+        if pos == self.cycle_len - 1:
+            if self._tracing:
+                jax.profiler.stop_trace()
+                self._tracing = False
+            self._i = 0
+            self._cycle += 1
+            return True  # this step was the last traced one
+        return self._tracing
+
+    def close(self):
+        if self._tracing:
+            jax.profiler.stop_trace()
+            self._tracing = False
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
 def device_memory_gb(device=None):
     """(allocated_gb, limit_gb) from PJRT memory stats (engine.py:358-372
     counterpart); (0, 0) when the backend doesn't expose stats."""

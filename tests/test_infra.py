@@ -305,3 +305,44 @@ def test_flops_accounting_sane():
     assert 0.6 < F.mfu(3800, vit) < 0.75
     bytes_tok = F.decode_bytes_per_token(params, dict(cfg, n_layers=2), kv_len=64)
     assert bytes_tok > F.param_bytes(params)  # weights + per-seq cache read
+
+
+def test_scheduled_profiler_schedule(tmp_path, monkeypatch):
+    """ScheduledProfiler: wait/warmup untraced, exactly `active` traced steps
+    per cycle into logdir/cycle_<k>, `repeat` cycles then inert, and close()
+    finalizes an in-flight trace."""
+    import llm_quest_tpu.training.profiling as prof
+
+    events = []
+    monkeypatch.setattr(prof.jax.profiler, "start_trace", lambda d: events.append(("start", d)))
+    monkeypatch.setattr(prof.jax.profiler, "stop_trace", lambda: events.append(("stop", None)))
+
+    with prof.ScheduledProfiler(tmp_path, wait=2, warmup=1, active=2, repeat=2) as p:
+        traced = [p.step() for _ in range(12)]
+
+    # per cycle: steps 0-1 wait, 2 warmup, 3-4 traced; two cycles then inert
+    assert traced == [False, False, False, True, True] * 2 + [False, False]
+    assert [e[0] for e in events] == ["start", "stop", "start", "stop"]
+    assert events[0][1].endswith("cycle_0") and events[2][1].endswith("cycle_1")
+
+    events.clear()
+    p2 = prof.ScheduledProfiler(tmp_path, wait=0, warmup=0, active=5, repeat=1)
+    assert p2.step() and p2.step()  # tracing started, window unfinished
+    p2.close()
+    assert [e[0] for e in events] == ["start", "stop"]
+
+
+def test_scheduled_profiler_writes_real_trace(tmp_path):
+    """One real cycle through jax.profiler produces an XPlane dump on disk."""
+    import glob
+
+    import jax.numpy as jnp
+
+    from llm_quest_tpu.training.profiling import ScheduledProfiler
+
+    x = jnp.ones((8, 8))
+    with ScheduledProfiler(tmp_path, wait=1, warmup=0, active=1, repeat=1) as p:
+        for _ in range(2):
+            float(jnp.sum(x @ x))
+            p.step()
+    assert glob.glob(str(tmp_path / "cycle_0" / "**" / "*.xplane.pb"), recursive=True)

@@ -190,3 +190,27 @@ def test_training_loop_async_checkpoints(tmp_path):
     assert max(jax.tree.leaves(diffs)) == 0.0
     assert int(restored["step"]) == 6
     assert "opt_state" in restored
+
+
+def test_training_loop_scheduled_profiler(tmp_path):
+    """profiler=: the loop drives a ScheduledProfiler once per optimizer
+    step and a real XPlane trace lands for the active window."""
+    import glob
+
+    import jax
+
+    from llm_quest_tpu.training.profiling import ScheduledProfiler
+
+    cfg = dict(CFG)
+    params = gpt2.init(jax.random.PRNGKey(0), cfg)
+    data = [
+        {"input_ids": np.full((2, 8), i % 60, np.int32),
+         "targets": np.full((2, 8), (i + 1) % 60, np.int32)}
+        for i in range(5)
+    ]
+    with ScheduledProfiler(tmp_path, wait=1, warmup=1, active=2, repeat=1) as p:
+        engine.training_eval_loop(
+            gpt2, cfg, params, data, data[:2], num_epoch=1, eval_freq=100,
+            eval_iter=1, profiler=p,
+        )
+    assert glob.glob(str(tmp_path / "cycle_0" / "**" / "*.xplane.pb"), recursive=True)
