@@ -27,6 +27,7 @@ from llm_quest_tpu.ops.linear import embedding, init_embedding, init_linear, lin
 from llm_quest_tpu.ops.masks import causal_mask
 from llm_quest_tpu.ops.mlp import init_swiglu, swiglu
 from llm_quest_tpu.ops.norms import init_rms_norm, rms_norm_torch_parity
+from llm_quest_tpu.ops.remat import checkpoint_block
 
 
 def init_attention(key, cfg, dtype):
@@ -213,7 +214,7 @@ def apply(
             h = residual + ffn_out
             return h, cache, moe_aux
 
-        fn = jax.checkpoint(block_fn) if use_ckpt else block_fn
+        fn = checkpoint_block(cfg, block_fn) if use_ckpt else block_fn
         h, cache, moe_aux = fn(block, h, cache)
         if is_moe:
             aux["gate_probas"].append(moe_aux["gate_probas"])

@@ -28,6 +28,7 @@ from jax import lax
 from llm_quest_tpu.config import model_dtype
 from llm_quest_tpu.inference import cache as kv_cache
 from llm_quest_tpu.ops import gdn as gdn_ops
+from llm_quest_tpu.ops.remat import checkpoint_block
 from llm_quest_tpu.ops import moe as moe_ops
 from llm_quest_tpu.ops import rope
 from llm_quest_tpu.ops.activations import silu
@@ -387,7 +388,7 @@ def apply(
                 )
                 return residual + ffn_out, moe_aux
 
-            h, moe_aux = jax.checkpoint(block_fn)(block, h)
+            h, moe_aux = checkpoint_block(cfg, block_fn)(block, h)
             aux["gate_probas"].append(moe_aux["gate_probas"])
             if "moe_loss" in moe_aux:
                 moe_loss = moe_loss + moe_aux["moe_loss"]

@@ -33,12 +33,20 @@ def log_probs_of(logits, targets):
     return jnp.take_along_axis(logprobs, targets[..., None], axis=-1)[..., 0]
 
 
-def cross_entropy_fused_head(hidden, head_w, targets, *, ignore_index=IGNORE_INDEX, chunk_size=512):
+def cross_entropy_fused_head(hidden, head_w, targets, *, ignore_index=IGNORE_INDEX, chunk_size=1024):
     """CE fused with the LM head: scans sequence chunks, computing each
     chunk's logits on the fly and REMATERIALIZING them in the backward pass —
     the full fp32 (T, vocab) tensor never exists. At 152k vocab this is the
     difference between 9.3 GB of logit temps and ~0.3 GB (measured OOM fix
     for Qwen3-Next training at s=2048).
+
+    Per-chunk NLL is the logsumexp form ``lse(logits) - logits[target]``
+    rather than materializing log_softmax: the fp32 (c, v) logprob tensor
+    never exists either, only two reductions over the bf16 logits. Measured
+    v5e-1 at 151,936 vocab (fwd+bwd, 8k tokens): 81.3 → 68.2 ms (112 vs 94
+    TFLOP/s), bit-identical loss. chunk_size=1024 beats 512 at every batch
+    measured (512 additionally hits a pathological XLA schedule in
+    isolation: 5.5 s/call).
 
     hidden: (b, s, d) pre-head states; head_w: (d, v); targets: (b, s).
     Returns mean CE over non-ignored targets (identical to
@@ -59,11 +67,12 @@ def cross_entropy_fused_head(hidden, head_w, targets, *, ignore_index=IGNORE_IND
 
     @jax.checkpoint
     def chunk_loss(h_chunk, y_chunk):
-        logits = (h_chunk @ head_w).astype(jnp.float32)  # (c, v) — only this chunk
+        logits = h_chunk @ head_w  # (c, v) — only this chunk, model dtype
         valid = y_chunk != ignore_index
         safe = jnp.where(valid, y_chunk, 0)
-        logprobs = jax.nn.log_softmax(logits, axis=-1)
-        nll = -jnp.take_along_axis(logprobs, safe[:, None], axis=-1)[:, 0]
+        lse = jax.scipy.special.logsumexp(logits.astype(jnp.float32), axis=-1)
+        tgt = jnp.take_along_axis(logits, safe[:, None], axis=-1)[:, 0].astype(jnp.float32)
+        nll = lse - tgt
         return jnp.sum(jnp.where(valid, nll, 0.0)), jnp.sum(valid)
 
     def scan_body(carry, xs):

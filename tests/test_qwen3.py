@@ -91,6 +91,28 @@ def test_gradient_checkpointing_same_output():
     assert max(jax.tree.leaves(diffs)) < 1e-5
 
 
+@pytest.mark.slow
+def test_remat_policy_dots_same_grads():
+    """cfg["remat_policy"]="dots" changes WHAT the backward saves, never the math."""
+    cfg = dict(DENSE_TINY, gradient_checkpointing=True)
+    params = qwen3.init(jax.random.PRNGKey(0), cfg)
+    x = jax.random.randint(jax.random.PRNGKey(1), (2, 8), 0, 128)
+    targets = jnp.roll(x, -1, axis=-1)
+
+    def loss(p, policy):
+        c = dict(cfg, remat_policy=policy)
+        logits, _, _ = qwen3.apply(p, c, x, training=True)
+        from llm_quest_tpu.ops.losses import cross_entropy
+
+        return cross_entropy(logits.reshape(-1, 128), targets.reshape(-1))
+
+    g_full = jax.grad(lambda p: loss(p, "full"))(params)
+    for policy in ("dots", "none"):
+        g_p = jax.grad(lambda p: loss(p, policy))(params)
+        diffs = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()), g_full, g_p)
+        assert max(jax.tree.leaves(diffs)) < 1e-5, policy
+
+
 def test_left_pad_batched_generation():
     """Left-padded batched decode — semantics of generate.py:368-469."""
     cfg = DENSE_TINY
