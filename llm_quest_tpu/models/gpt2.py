@@ -203,3 +203,10 @@ def apply(
         logits = linear(params["out"], h)
 
     return logits, cache, {}
+
+
+def head_weights(params, cfg):
+    """(d, vocab) output-head matrix — for the fused-CE training path
+    (training/engine.py::make_train_step(fused_head_ce=True)). GPT-2's head
+    is bias-free (init: `bias=False`), so the fused path is exact."""
+    return params["out"]["w"]

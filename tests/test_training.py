@@ -127,8 +127,12 @@ class TestFusedHeadCE:
 
 
 @pytest.mark.slow
-def test_fused_head_ce_train_step_matches_plain():
-    """fused_head_ce train step == plain step (same loss, same update)."""
+@pytest.mark.parametrize("model_name", ["qwen3", "gpt2"])
+def test_fused_head_ce_train_step_matches_plain(model_name):
+    """fused_head_ce train step == plain step (same loss, same update).
+
+    gpt2 covers the untied bias-free head (head_weights returns out.w);
+    qwen3 covers the tied-embedding head."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -136,20 +140,24 @@ def test_fused_head_ce_train_step_matches_plain():
     from llm_quest_tpu.models import qwen3
     from llm_quest_tpu.training.engine import make_optimizer, make_train_step
 
-    cfg = {
-        "model_type": "dense", "vocab_size": 128, "context_length": 64, "emb_dim": 32,
-        "n_layers": 2, "n_heads": 4, "num_kv_groups": 2, "head_dim": 8, "hidden_dim": 64,
-        "rope_base": 10_000, "tie_embeddings": True, "dtype": jnp.float32,
-    }
-    params = qwen3.init(jax.random.PRNGKey(0), cfg)
+    if model_name == "gpt2":
+        model, cfg = gpt2, dict(CFG)
+    else:
+        model = qwen3
+        cfg = {
+            "model_type": "dense", "vocab_size": 128, "context_length": 64, "emb_dim": 32,
+            "n_layers": 2, "n_heads": 4, "num_kv_groups": 2, "head_dim": 8, "hidden_dim": 64,
+            "rope_base": 10_000, "tie_embeddings": True, "dtype": jnp.float32,
+        }
+    params = model.init(jax.random.PRNGKey(0), cfg)
     optimizer = make_optimizer(1e-3)
     opt_state = optimizer.init(params)
-    x = jax.random.randint(jax.random.PRNGKey(1), (2, 16), 0, 128)
+    x = jax.random.randint(jax.random.PRNGKey(1), (2, 16), 0, cfg["vocab_size"])
     batch = {"input_ids": x, "targets": jnp.roll(x, -1, -1)}
     rng = jax.random.PRNGKey(0)
 
-    plain = make_train_step(qwen3, cfg, optimizer)
-    fused = make_train_step(qwen3, cfg, optimizer, fused_head_ce=True)
+    plain = make_train_step(model, cfg, optimizer)
+    fused = make_train_step(model, cfg, optimizer, fused_head_ce=True)
     # train steps DONATE (params, opt_state) — pass fresh copies to each
     copy = lambda t: jax.tree.map(lambda x: x + 0, t)
     p1, _, l1 = plain(copy(params), copy(opt_state), batch, rng)
