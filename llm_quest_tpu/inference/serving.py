@@ -942,7 +942,7 @@ class ContinuousBatchingEngine:
         self, model, params, cfg, *, n_slots, max_len, decode_chunk=8,
         prefill_buckets=DEFAULT_BUCKETS, top_k=None, top_p=None, min_p=None,
         temp=0.0, eos_ids=None, pad_id=0, cache_dtype=None, rng=None,
-        pipeline_depth=2, mesh=None, param_rules=None,
+        pipeline_depth="auto", mesh=None, param_rules=None,
         draft_model=None, draft_params=None, draft_cfg=None, gamma=4,
         draft_param_rules=None, prefill_chunk=None, per_request_sampling=False,
         return_logprobs=False,
@@ -1152,7 +1152,18 @@ class ContinuousBatchingEngine:
         # Correctness is unchanged: finished rows are sticky on device, and
         # each in-flight chunk carries a snapshot of the slot->request map
         # taken at ITS dispatch, so late admits never steal earlier tokens.
-        self.pipeline_depth = max(1, pipeline_depth)
+        #
+        # Depth is a measured tradeoff, not a free win: every in-flight
+        # chunk beyond the first delays retirement by one chunk, so each
+        # finished request wastes (depth-1) stale chunks of slot time.
+        # Measured on v5e-1 (48 reqs, gen U[16,64], 32 slots, 32-chunk):
+        # dense-300M (chunk ~23 ms < ~35 ms dispatch RTT) depth2 = 1.39x
+        # depth1, but Qwen3.5-0.8B (chunk ~230 ms >> RTT) depth1 = 2028
+        # vs depth2 1567 tok/s. "auto" (default) resolves at warmup() by
+        # timing the decode chunk against a tiny-op dispatch round trip:
+        # depth 1 when the chunk dominates, else 2. An int pins it.
+        self._auto_depth = pipeline_depth in (None, "auto")
+        self.pipeline_depth = 2 if self._auto_depth else max(1, pipeline_depth)
         self._inflight = deque()  # (packed handle, slot_map snapshot)
 
     # ------------------------------------------------------------- scheduling
@@ -1187,7 +1198,25 @@ class ContinuousBatchingEngine:
             dextra = dextra + (jnp.asarray(self._slot_sample),)
         head = (self.params,) + ((self.draft_params,) if self._spec else ())
         scratch, packed = self._decode_jit(*head, scratch, self.eos_arr, *dextra)
-        jax.block_until_ready(packed)
+        np.asarray(packed)  # true host sync (block_until_ready can return early over the tunnel)
+        if self._auto_depth:
+            # time one decode chunk vs a tiny-op dispatch round trip and
+            # pick the measured-better depth (rationale at the __init__
+            # pipeline_depth comment). np.asarray forces a real transfer.
+            t0 = time.perf_counter()
+            scratch, packed = self._decode_jit(*head, scratch, self.eos_arr, *dextra)
+            np.asarray(packed)
+            t_chunk = time.perf_counter() - t0
+            tiny = jax.jit(lambda x: x + 1)
+            z = jnp.zeros((8,), jnp.int32)
+            np.asarray(tiny(z))  # compile
+            rtts = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                np.asarray(tiny(z))
+                rtts.append(time.perf_counter() - t0)
+            t_rtt = sorted(rtts)[1]
+            self.pipeline_depth = 1 if t_chunk >= t_rtt else 2
 
     def _bucket_len(self, prompt_len):
         for b in self.buckets:

@@ -1105,6 +1105,32 @@ def test_serving_moe_explicit_ep_on_mesh():
         )
 
 
+def test_serving_auto_pipeline_depth(params):
+    """pipeline_depth="auto" (the default): warmup() times one decode chunk
+    against a tiny-op dispatch round trip and resolves depth to 1 (chunk
+    dominates) or 2 (dispatch dominates); tokens stay exact either way."""
+    rng = np.random.default_rng(11)
+    prompts = [rng.integers(1, 128, size=n).tolist() for n in (4, 6, 5)]
+
+    engine = ContinuousBatchingEngine(
+        qwen3, params, CFG, n_slots=2, max_len=32, decode_chunk=3,
+        prefill_buckets=(8,), temp=0.0, eos_ids=-1, pad_id=0,
+    )
+    assert engine._auto_depth and engine.pipeline_depth == 2  # pre-warmup default
+    engine.warmup()
+    assert engine.pipeline_depth in (1, 2)  # resolved from measurements
+    outs = engine.serve([(p, 6) for p in prompts])
+    for p, got in zip(prompts, outs):
+        assert got == _reference_tokens(params, p, 6)
+    # explicit int still pins (no auto resolution)
+    pinned = ContinuousBatchingEngine(
+        qwen3, params, CFG, n_slots=2, max_len=32, decode_chunk=3,
+        prefill_buckets=(8,), temp=0.0, eos_ids=-1, pad_id=0, pipeline_depth=3,
+    )
+    pinned.warmup()
+    assert pinned.pipeline_depth == 3
+
+
 def test_serving_cancel(params):
     """cancel(rid): queued requests never admit; resident ones free their
     slot for the next wave; surviving requests still produce exact tokens."""
