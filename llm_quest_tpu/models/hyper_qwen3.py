@@ -11,7 +11,7 @@ import jax.numpy as jnp
 
 from llm_quest_tpu.models import qwen3
 from llm_quest_tpu.ops import hyper_connections as hc
-from llm_quest_tpu.ops.linear import embedding, linear
+from llm_quest_tpu.ops.linear import embedding, linear, tied_head
 from llm_quest_tpu.ops.masks import causal_mask
 from llm_quest_tpu.ops.mlp import swiglu
 from llm_quest_tpu.ops.norms import rms_norm_torch_parity
@@ -60,7 +60,7 @@ def apply(params, cfg, x, *, hc_type="hc", expansion_rate=4, attn_mask=None, pos
     h = rms_norm_torch_parity(params["final_norm"], h)
 
     if cfg["tie_embeddings"]:
-        logits = h @ params["tok_emb"]["w"].T
+        logits = tied_head(params["tok_emb"], h)
     else:
         logits = linear(params["out"], h)
     return logits, None, {}

@@ -21,7 +21,7 @@ from llm_quest_tpu.config import model_dtype
 from llm_quest_tpu.inference import cache as kvc
 from llm_quest_tpu.ops import rope
 from llm_quest_tpu.ops.attention import attention, merge_heads, split_heads
-from llm_quest_tpu.ops.linear import embedding, init_embedding, init_linear, linear
+from llm_quest_tpu.ops.linear import embedding, init_embedding, init_linear, linear, tied_head
 from llm_quest_tpu.ops.masks import causal_mask
 from llm_quest_tpu.ops.mlp import init_swiglu, swiglu
 from llm_quest_tpu.ops.norms import init_rms_norm, rms_norm
@@ -156,5 +156,5 @@ def apply(params, cfg, x, *, attn_mask=None, cache=None, position_ids=None, rope
     if cache is not None:
         cache = kvc.advance(cache, s)
 
-    logits = h @ params["tok_emb"]["w"].T  # tied output head
+    logits = tied_head(params["tok_emb"], h)  # tied output head
     return logits, cache, aux

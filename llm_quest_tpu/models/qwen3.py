@@ -23,7 +23,7 @@ from llm_quest_tpu.inference import cache as kvc
 from llm_quest_tpu.ops import moe as moe_ops
 from llm_quest_tpu.ops import rope
 from llm_quest_tpu.ops.attention import attention, merge_heads, split_heads
-from llm_quest_tpu.ops.linear import embedding, init_embedding, init_linear, linear
+from llm_quest_tpu.ops.linear import embedding, init_embedding, init_linear, linear, tied_head
 from llm_quest_tpu.ops.masks import causal_mask
 from llm_quest_tpu.ops.mlp import init_swiglu, swiglu
 from llm_quest_tpu.ops.norms import init_rms_norm, rms_norm_torch_parity
@@ -231,7 +231,7 @@ def apply(
     if output_hidden_states:
         return h, cache, aux
     if cfg["tie_embeddings"]:
-        logits = h @ params["tok_emb"]["w"].T
+        logits = tied_head(params["tok_emb"], h)
     else:
         logits = linear(params["out"], h)
     return logits, cache, aux

@@ -47,7 +47,7 @@ from llm_quest_tpu.ops import gdn as gdn_ops
 from llm_quest_tpu.ops import rope
 from llm_quest_tpu.ops.activations import gelu_erf, gelu_tanh, silu
 from llm_quest_tpu.ops.attention import attention, merge_heads, mha_packed, split_heads
-from llm_quest_tpu.ops.linear import embedding, init_embedding, init_linear, linear
+from llm_quest_tpu.ops.linear import embedding, init_embedding, init_linear, linear, tied_head
 from llm_quest_tpu.ops.masks import causal_mask
 from llm_quest_tpu.ops.mlp import init_swiglu, swiglu
 from llm_quest_tpu.ops.norms import (
@@ -548,7 +548,7 @@ def apply_text(
         cache = {**cache, "pos": cache["pos"] + s}
 
     if cfg["tie_embeddings"]:
-        logits = h @ params["tok_emb"]["w"].T
+        logits = tied_head(params["tok_emb"], h)
     else:
         logits = linear(params["out"], h)
     return logits, cache, {}

@@ -50,6 +50,28 @@ def init_embedding(key, num_embeddings, emb_dim, *, dtype=jnp.float32):
     return {"w": jax.random.normal(key, (num_embeddings, emb_dim), dtype)}
 
 
-def embedding(params, ids):
-    """Token-id lookup. ids: (...,) int → (..., emb_dim)."""
-    return params["w"][ids]
+def embedding(params, ids, *, dtype=None):
+    """Token-id lookup. ids: (...,) int → (..., emb_dim).
+
+    Int8 tables ({"w_q", "w_scale"} — ops/quantization.py with
+    quantize_embeddings=True) dequant only the gathered rows. Quantized
+    checkpoints are a bf16 serving-path transform (module docstring
+    there), so the dequant lands in bf16 unless ``dtype`` overrides."""
+    if "w_q" in params:
+        dt = dtype or jnp.bfloat16
+        rows = params["w_q"][ids].astype(dt)
+        return rows * params["w_scale"][ids][..., None].astype(dt)
+    w = params["w"][ids]
+    return w if dtype is None else w.astype(dtype)
+
+
+def tied_head(tok_emb, h):
+    """Tied-embedding output head: ``h @ w.T`` (the reference models'
+    ``lm_head.weight = embedding.weight`` pattern). Int8 tables dispatch to
+    ``(h @ w_q.T) * scale`` — the per-ROW scale is the head matmul's
+    output-channel scale, so dequantization is an exact (vocab,)-vector
+    epilogue and the int8→bf16 convert fuses into the dot's weight read
+    (the table streams from HBM at 1 byte/element)."""
+    if "w_q" in tok_emb:
+        return (h @ tok_emb["w_q"].T.astype(h.dtype)) * tok_emb["w_scale"].astype(h.dtype)
+    return h @ tok_emb["w"].T

@@ -25,6 +25,16 @@ Excluded by default: embeddings (``tok_emb`` — row-gather, not a matmul) and
 the depthwise conv taps (``conv*`` — tiny, VPU-bound). Biases and LoRA
 adapters pass through in full precision.
 
+Tied-head models (Qwen3/Qwen3.5/Llama-3.2/Gemma-3 configs set
+``tie_embeddings``) compute logits as ``h @ tok_emb.w.T`` — so the
+embedding table IS streamed from HBM once per decode step like any other
+linear (311 MB bf16 at Qwen3.5-0.8B's 151k vocab: the single largest
+matrix in the model). ``quantize_embeddings=True`` quantizes it with
+per-ROW scales, which serve both uses exactly: the head matmul's output
+channel is the vocab row (``(h @ w_q.T) * scale`` — free vector epilogue,
+ops/linear.py::tied_head) and the input gather dequants only the rows it
+touches (ops/linear.py::embedding).
+
 Note on TP serving: the sharding path-rules (parallel/sharding.py) match
 both ``w`` and ``w_q``/``w_scale`` suffixes, so tensor-parallel decode of a
 quantized checkpoint shards the int8 weights the same way.
@@ -135,6 +145,25 @@ def int8_matmul(x, w_q, scale):
     return jnp.einsum("...no,no->...o", part, scale).astype(x.dtype)
 
 
+def quantize_embedding_int8(p, *, bits=8):
+    """{"w": (vocab, emb) fp} → {"w_q": int8/int4, "w_scale": fp32 (vocab,)}.
+
+    Per-ROW symmetric scales — the row is simultaneously the gather unit
+    (input embedding) and the output channel of the tied head matmul
+    (``logits = h @ w.T``), so one quantized array serves both exactly:
+    the head dequant is a (vocab,)-vector epilogue and the gather dequant
+    touches only the looked-up rows."""
+    dtype, qmax = _qdtype(bits)
+    w = jnp.asarray(p["w"], jnp.float32)
+    scale = jnp.maximum(jnp.max(jnp.abs(w), axis=1) / qmax, 1e-12)  # (vocab,)
+    w_q = jnp.clip(jnp.round(w / scale[:, None]), -qmax, qmax).astype(dtype)
+    out = {"w_q": w_q, "w_scale": scale.astype(jnp.float32)}
+    for k in p:
+        if k != "w":
+            out[k] = p[k]
+    return out
+
+
 _EXPERT_MATS = ("lin1", "gate", "lin2")
 
 
@@ -160,20 +189,31 @@ def quantize_expert_stack_int8(experts, *, bits=8):
 
 def quantize_params_int8(
     params, *, exclude=r"tok_emb|conv", block_size=None, min_size=4096,
-    quantize_experts=True, bits=8,
+    quantize_experts=True, quantize_embeddings=False, bits=8,
 ):
     """Walk a model's params pytree and quantize every 2-D ``{"w": ...}``
     linear whose path doesn't match ``exclude`` and whose weight has at
     least ``min_size`` elements (tiny projections gain no bandwidth and
     lose accuracy), plus stacked MoE expert dicts (3-D lin1/gate/lin2)
-    when ``quantize_experts``. Returns a new pytree; the original is
-    untouched.
+    when ``quantize_experts``. ``quantize_embeddings=True`` additionally
+    quantizes ``tok_emb`` tables with per-row scales (exact through both
+    the gather and a tied output head — see quantize_embedding_int8; the
+    big win for tied-head decode, where the table is the largest streamed
+    matrix). Returns a new pytree; the original is untouched.
     """
     pat = re.compile(exclude) if exclude else None
 
     def rec(node, path):
         if isinstance(node, dict):
             w = node.get("w")
+            if (
+                quantize_embeddings
+                and path.endswith("tok_emb")
+                and hasattr(w, "ndim")
+                and w.ndim == 2
+                and w.size >= min_size
+            ):
+                return quantize_embedding_int8(node, bits=bits)
             if (
                 hasattr(w, "ndim")
                 and w.ndim == 2

@@ -34,6 +34,9 @@ MAX_GEN = 64
 BATCHES = [int(b) for b in os.environ.get("QUANT_BATCHES", "1,8,32").split(",")]
 BLOCK = os.environ.get("QUANT_BLOCK")  # e.g. 128 for sub-channel scales
 WHICH = os.environ.get("QUANT_MODEL", "qwen3_5")  # qwen3_5 | moe
+# per-row int8 tok_emb (tied-head models stream the table per token through
+# the head matmul — the largest single matrix at 151k vocab)
+QUANT_EMB = os.environ.get("QUANT_EMB", "1") == "1"
 
 # same 1B-ish MoE as scripts/bench_serving.py — tests the ragged_dot int8
 # path (per-expert scales, row-indexed epilogue) at serving scale
@@ -85,7 +88,7 @@ def main():
         params = qwen3_5.init_text(jax.random.PRNGKey(0), cfg)
     params = jax.tree.map(lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, params)
     block = int(BLOCK) if BLOCK else None
-    params_q = quantize_params_int8(params, block_size=block)
+    params_q = quantize_params_int8(params, block_size=block, quantize_embeddings=QUANT_EMB)
     frac = quantized_byte_fraction(params_q, params)
     print(f"quantized param bytes = {frac:.3f}× bf16", flush=True)
 

@@ -257,3 +257,65 @@ def test_quantized_tp_decode_matches_single_device(mesh8):
             qwen3, sp, cfg, batch["ids"], mask, max_gen=6, temp=0.0, eos_ids=-1, pad_id=0
         )
     assert ref["sequences"].tolist() == out["sequences"].tolist()
+
+
+def test_quantized_embedding_roundtrip_and_gather():
+    """Per-row table quantization: gather-dequant == dequant-then-gather,
+    and the row error is bounded by scale/2."""
+    from llm_quest_tpu.ops.linear import embedding
+    from llm_quest_tpu.ops.quantization import quantize_embedding_int8
+
+    w = jax.random.normal(jax.random.PRNGKey(0), (96, 48)) * 0.2
+    q = quantize_embedding_int8({"w": w})
+    assert q["w_q"].shape == (96, 48) and q["w_scale"].shape == (96,)
+    w_hat = q["w_q"].astype(jnp.float32) * q["w_scale"][:, None]
+    assert bool(jnp.all(jnp.abs(w - w_hat) <= 0.5 * q["w_scale"][:, None] + 1e-7))
+
+    ids = jnp.asarray([[3, 17, 95], [0, 1, 2]])
+    got = embedding(q, ids, dtype=jnp.float32)
+    assert float(jnp.max(jnp.abs(got - w_hat[ids]))) < 1e-6
+    # default dequant dtype is the bf16 serving convention
+    assert embedding(q, ids).dtype == jnp.bfloat16
+
+
+def test_quantized_tied_head_exact_epilogue():
+    """tied_head on an int8 table == h @ dequant(w).T EXACTLY (fp32): the
+    per-row scale is the matmul's output-channel scale, so dequantization
+    commutes with the contraction."""
+    from llm_quest_tpu.ops.linear import tied_head
+    from llm_quest_tpu.ops.quantization import quantize_embedding_int8
+
+    w = jax.random.normal(jax.random.PRNGKey(1), (64, 32))
+    h = jax.random.normal(jax.random.PRNGKey(2), (5, 32))
+    q = quantize_embedding_int8({"w": w})
+    ref = h @ (q["w_q"].astype(jnp.float32) * q["w_scale"][:, None]).T
+    got = tied_head(q, h)
+    assert float(jnp.max(jnp.abs(ref - got))) < 1e-5
+
+
+def test_quantize_embeddings_flag_tied_model_decode():
+    """quantize_embeddings=True quantizes tok_emb per-row; a TIED-head model
+    decodes through the unchanged engine with logits close to the fp path
+    (the table is the largest streamed matrix at real vocab sizes)."""
+    from llm_quest_tpu.models import qwen3
+
+    cfg = dict(_qwen3_cfg(), tie_embeddings=True)
+    params = qwen3.init(jax.random.PRNGKey(0), cfg)
+    params_q = quantize_params_int8(params, min_size=256, quantize_embeddings=True)
+    assert "w_q" in params_q["tok_emb"] and "w" not in params_q["tok_emb"]
+    # default stays conservative: without the flag the table passes through
+    assert "w" in quantize_params_int8(params, min_size=256)["tok_emb"]
+
+    ids = jax.random.randint(jax.random.PRNGKey(1), (2, 6), 0, 128)
+    ref_logits, _, _ = qwen3.apply(params, cfg, ids)
+    q_logits, _, _ = qwen3.apply(params_q, cfg, ids)
+    err = float(jnp.max(jnp.abs(ref_logits - q_logits)))
+    scale_ref = float(jnp.max(jnp.abs(ref_logits)))
+    assert err < 0.15 * scale_ref, (err, scale_ref)
+
+    from llm_quest_tpu.inference import generate as gen
+
+    out = gen.generate_kv_cache(
+        qwen3, params_q, cfg, ids, max_gen=8, temp=0.0, eos_ids=-1, pad_id=0
+    )
+    assert out["sequences"].shape == (2, 14)
