@@ -253,13 +253,15 @@ def bench_vit_encode(batch=128, iters=20, n_runs=3):
 
 def bench_train_step(b=4, s=2048, n_steps=8):
     """Qwen3-dense ~300M train step (bf16, flash attention, fused-head CE,
-    donated buffers, remat_policy="dots") — the training-MFU workload.
+    donated buffers) — the training-MFU workload.
 
     Round-4 honest sweep (float(loss) sync; the round-2/3 59.3k figure was a
     block_until_ready early-return artifact over the tunnel): b=4 s=2048
     ckpt-full 27.9k tok/s (.40 MFU) · ckpt-dots 30.4k (.44) · remat-off
-    34.3k (.50); b=8 is slightly worse on every policy. "dots" keeps the
-    activation-memory headroom story while saving the matmul outputs."""
+    34.3k (.50); b=8 is slightly worse on every policy. The graded config
+    runs remat OFF — it fits this model/batch with room (flash keeps
+    activations linear in s), so rematerializing is pure waste here; the
+    remat knob exists for the configs that don't fit."""
     from llm_quest_tpu import config
     from llm_quest_tpu.models import qwen3
     from llm_quest_tpu.training import flops as F
@@ -269,7 +271,7 @@ def bench_train_step(b=4, s=2048, n_steps=8):
         config.qwen3_config_creator("temp_dense"),
         n_layers=16, emb_dim=1024, n_heads=16, num_kv_groups=8,
         hidden_dim=3072, context_length=s, dtype=jnp.bfloat16,
-        gradient_checkpointing=True, remat_policy="dots",
+        gradient_checkpointing=False,
     )
     params = qwen3.init(jax.random.PRNGKey(0), cfg)
     optimizer = make_optimizer(3e-4)

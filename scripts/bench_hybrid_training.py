@@ -6,6 +6,13 @@ backward remats per chunk from kernel-saved chunk states
 (kernels/gdn_pallas.py) — this script measures the train-step throughput
 with the kernel on (new backward) vs the pure XLA chunked path.
 
+Round-4 remat sweep (981M, b=4, s=2048, float(loss) sync): kernel +
+ckpt-full 23,024 tok/s (27.0% MFU) · ckpt-dots 23,679 (27.8%) · remat OFF
+**27,646 (32.4% MFU)** — this model/batch fits without rematerialization
+(GDN state is O(1) in s and flash keeps attention activations linear), so
+the headline config runs remat off; the knob stays for configs that don't
+fit.
+
 Run: PYTHONPATH=/root/repo:/root/.axon_site python -u scripts/bench_hybrid_training.py
 """
 
@@ -55,7 +62,7 @@ def main():
     base = dict(
         config.QWEN3_NEXT_SMALL_CONFIG,
         context_length=S, dtype=jnp.bfloat16, p_dropout=0.0,
-        gradient_checkpointing=True,
+        gradient_checkpointing=False,  # fits at this scale — see module docstring sweep
     )
     t_kernel = bench(dict(base, use_gdn_kernel=True), "GDN kernel (chunk-remat backward)")
     t_xla = bench(dict(base, use_gdn_kernel=False), "chunked XLA GDN")

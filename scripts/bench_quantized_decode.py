@@ -33,6 +33,7 @@ PROMPT_LEN = 32
 MAX_GEN = 64
 BATCHES = [int(b) for b in os.environ.get("QUANT_BATCHES", "1,8,32").split(",")]
 BLOCK = os.environ.get("QUANT_BLOCK")  # e.g. 128 for sub-channel scales
+BITS = int(os.environ.get("QUANT_BITS", "8"))  # 8 | 4 (s4 packs 2/byte in HBM)
 WHICH = os.environ.get("QUANT_MODEL", "qwen3_5")  # qwen3_5 | moe
 # per-row int8 tok_emb (tied-head models stream the table per token through
 # the head matmul — the largest single matrix at 151k vocab)
@@ -88,7 +89,9 @@ def main():
         params = qwen3_5.init_text(jax.random.PRNGKey(0), cfg)
     params = jax.tree.map(lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, params)
     block = int(BLOCK) if BLOCK else None
-    params_q = quantize_params_int8(params, block_size=block, quantize_embeddings=QUANT_EMB)
+    params_q = quantize_params_int8(
+        params, block_size=block, quantize_embeddings=QUANT_EMB, bits=BITS
+    )
     frac = quantized_byte_fraction(params_q, params)
     print(f"quantized param bytes = {frac:.3f}× bf16", flush=True)
 
