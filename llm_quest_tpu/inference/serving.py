@@ -24,12 +24,15 @@ TPU redesign (everything static-shape, three compiled programs total):
   b=1 cache, then insert the row (cache row, mask row, last-token logits,
   counters) into the pool with dynamic_update_slice — no other slot is
   touched, no recompile.
-- **Decode chunk** (one jit): ``lax.scan`` of ``decode_chunk`` single-token
-  steps advancing ALL slots; per-row finished flags swap samples for pad
-  and stop mask-bit growth. The chunk granularity amortizes the host
-  round-trip (the scheduler only intervenes every ``decode_chunk`` tokens —
-  over a tunneled TPU that RTT is ~35 ms, so chunking is what makes the
-  scheduler affordable).
+- **Decode chunk** (one jit): a ``lax.while_loop`` of up to ``decode_chunk``
+  single-token steps advancing ALL slots; per-row finished flags swap
+  samples for pad and stop mask-bit growth, and the loop EXITS EARLY the
+  step every slot is finished — the drain tail stops burning all-pad
+  forwards instead of running the chunk out. The chunk granularity
+  amortizes the host round-trip (the scheduler only intervenes every
+  ``decode_chunk`` tokens — over a tunneled TPU that RTT is ~35 ms, so
+  chunking is what makes the scheduler affordable), while the early exit
+  keeps large chunks cheap when the pool empties mid-chunk.
 - **Retire/refill** on the host: read the chunk's tokens + finished flags,
   close requests (EOS or their max_gen), admit queued prompts into the
   freed slots.
@@ -423,8 +426,32 @@ def _decode_chunk_impl(model, _frozen, cfg, n_slots, max_len, decode_chunk,
         state["cache"], state["mask_buf"], state["last_logits"],
         state["seqpos"], state["finished"], state["budget"], state["rng"],
     )
-    (cache, mask_buf, last_logits, seqpos, finished, budget, rng), ys = lax.scan(
-        step, init, None, length=decode_chunk
+    # Early-exit chunk: a while_loop bounded at decode_chunk that stops as
+    # soon as EVERY slot is finished (empty slots start finished, so partial
+    # pools qualify). A fixed-length scan burns full-model forwards on the
+    # drain tail — e.g. the last admission wave's shortest max_gen pins how
+    # soon the pool empties, and every iteration past that point is an
+    # all-pad forward. Skipped iterations leave pad_id tokens (exactly what
+    # the scan would have sampled for all-finished rows), so the packed
+    # host format is unchanged.
+    bufs = [jnp.full((decode_chunk, n_slots), pad_id, jnp.int32)]
+    if with_logprobs:
+        bufs.append(jnp.zeros((decode_chunk, n_slots), jnp.int32))
+
+    def cond(loop):
+        i, carry, _ = loop
+        return (i < decode_chunk) & ~jnp.all(carry[4])
+
+    def body(loop):
+        i, carry, bufs = loop
+        carry, ys = step(carry, None)
+        bufs = tuple(
+            lax.dynamic_update_index_in_dim(b, y, i, 0) for b, y in zip(bufs, ys)
+        )
+        return i + 1, carry, bufs
+
+    _, (cache, mask_buf, last_logits, seqpos, finished, budget, rng), ys = lax.while_loop(
+        cond, body, (jnp.int32(0), init, tuple(bufs))
     )
     new_state = {
         "cache": cache, "mask_buf": mask_buf, "last_logits": last_logits,
@@ -900,8 +927,29 @@ def _spec_chunk_impl(model, draft_model, _frozen, cfg, dcfg, n_slots, max_len,
     init = (state["cache"], state["d_cache"], state["mask_buf"],
             state["last_tok"], state["seqpos"], state["finished"], state["budget"],
             state["rng"])
-    (cache, d_cache, mask_buf, last_tok, seqpos, finished, budget, rng), (toks, counts) = lax.scan(
-        window_step, init, None, length=windows
+    # Early-exit (see _decode_chunk_impl): stop issuing draft+verify windows
+    # once every slot is finished. Skipped windows leave (pad_id tokens,
+    # count 0) — exactly what window_step emits for finished rows, so the
+    # packed host format is unchanged.
+    bufs0 = (
+        jnp.full((windows, n_slots, gamma + 1), pad_id, jnp.int32),
+        jnp.zeros((windows, n_slots), jnp.int32),
+    )
+
+    def cond(loop):
+        i, carry, _ = loop
+        return (i < windows) & ~jnp.all(carry[5])
+
+    def body(loop):
+        i, carry, bufs = loop
+        carry, (emit, num_new) = window_step(carry, None)
+        return i + 1, carry, (
+            lax.dynamic_update_index_in_dim(bufs[0], emit, i, 0),
+            lax.dynamic_update_index_in_dim(bufs[1], num_new, i, 0),
+        )
+
+    _, (cache, d_cache, mask_buf, last_tok, seqpos, finished, budget, rng), (toks, counts) = (
+        lax.while_loop(cond, body, (jnp.int32(0), init, bufs0))
     )
     new_state = {
         "cache": cache, "d_cache": d_cache, "mask_buf": mask_buf,
@@ -1197,6 +1245,12 @@ class ContinuousBatchingEngine:
         if self._row_sampling:
             dextra = dextra + (jnp.asarray(self._slot_sample),)
         head = (self.params,) + ((self.draft_params,) if self._spec else ())
+        # give every scratch row a full-chunk budget: the decode chunk
+        # early-exits once all rows finish, and the warmup admits set
+        # budget=1 — without this the timed chunk below would measure one
+        # iteration and auto-depth would resolve against a ~chunk/64 cost
+        scratch["budget"] = jnp.full((self.n_slots,), self.decode_chunk + 2, jnp.int32)
+        scratch["finished"] = jnp.zeros((self.n_slots,), bool)
         scratch, packed = self._decode_jit(*head, scratch, self.eos_arr, *dextra)
         np.asarray(packed)  # true host sync (block_until_ready can return early over the tunnel)
         if self._auto_depth:
