@@ -51,6 +51,24 @@ def test_serving_matches_batched_engine_with_slot_reuse(params):
         assert got == ref[: len(got)] and len(got) == mg, (got, ref)
 
 
+def test_serving_early_exit_chunk_parity(params):
+    """decode_chunk far larger than every request's budget: the chunk's
+    early-exit while_loop (all slots finished) must leave the packed output
+    byte-compatible — tokens still bit-match the batched engine and pad
+    never leaks into results."""
+    rng = np.random.default_rng(3)
+    prompts = [rng.integers(1, 128, size=n).tolist() for n in (4, 6, 3)]
+    max_gens = [3, 5, 2]  # all << decode_chunk=16
+
+    engine = ContinuousBatchingEngine(
+        qwen3, params, CFG, n_slots=4, max_len=32, decode_chunk=16,
+        prefill_buckets=(8,), temp=0.0, eos_ids=-1, pad_id=0,
+    )
+    outs = engine.serve(list(zip(prompts, max_gens)))
+    for ids, mg, got in zip(prompts, max_gens, outs):
+        assert got == _reference_tokens(params, ids, mg) and len(got) == mg
+
+
 def test_serving_eos_retires_and_refills(params):
     """EOS mid-generation retires the slot; the engine's output is trimmed
     at EOS and matches the reference engine run with the same eos id."""
