@@ -135,10 +135,11 @@ def bench_text_decode(batch=1, prompt_len=32, max_gen=64, int8=False, n_runs=5):
     if int8:
         from llm_quest_tpu.ops.quantization import quantize_params_int8
 
-        # quantize_embeddings: Qwen3.5 ties the head, so the 151k-vocab
-        # table (311 MB bf16 — the largest single matrix) is streamed per
-        # token through the head matmul; per-row int8 halves it (exact
-        # column-scale epilogue). Measured b=1: 502 → 624 tok/s.
+        # quantize_embeddings: Qwen3.5 ties the head, so the 248,320-row
+        # vocab table (508 MB bf16 — the largest single matrix,
+        # config.py:318) is streamed per token through the head matmul;
+        # per-row int8 halves it (exact column-scale epilogue).
+        # Measured b=1: 502 → 624 tok/s.
         params = quantize_params_int8(
             jax.tree.map(lambda x: x.astype(jnp.bfloat16), params),
             quantize_embeddings=True,

@@ -1248,17 +1248,33 @@ class ContinuousBatchingEngine:
         # give every scratch row a full-chunk budget: the decode chunk
         # early-exits once all rows finish, and the warmup admits set
         # budget=1 — without this the timed chunk below would measure one
-        # iteration and auto-depth would resolve against a ~chunk/64 cost
-        scratch["budget"] = jnp.full((self.n_slots,), self.decode_chunk + 2, jnp.int32)
-        scratch["finished"] = jnp.zeros((self.n_slots,), bool)
-        scratch, packed = self._decode_jit(*head, scratch, self.eos_arr, *dextra)
+        # iteration and auto-depth would resolve against a ~chunk/64 cost.
+        # Spec chunks commit up to (gamma+1) tokens per window, so their
+        # token budget scales by that; and sampling over scratch-state
+        # logits can emit a real EOS, so the warmup/timed chunks get a
+        # sentinel eos array that cannot match (eos is a runtime arg — no
+        # retrace). Budget + finished are re-armed before EVERY warmup
+        # decode call: the first chunk consumes the budget, and a timed
+        # chunk running on the leftovers would early-exit after ~2 rows.
+        warm_budget = self.decode_chunk + 2
+        if self._spec:
+            warm_budget *= self.gamma + 1
+        no_eos = jnp.full_like(self.eos_arr, -1)
+
+        def _rearm(s):
+            s["budget"] = jnp.full((self.n_slots,), warm_budget, jnp.int32)
+            s["finished"] = jnp.zeros((self.n_slots,), bool)
+            return s
+
+        scratch, packed = self._decode_jit(*head, _rearm(scratch), no_eos, *dextra)
         np.asarray(packed)  # true host sync (block_until_ready can return early over the tunnel)
         if self._auto_depth:
-            # time one decode chunk vs a tiny-op dispatch round trip and
-            # pick the measured-better depth (rationale at the __init__
+            # time one FULL decode chunk vs a tiny-op dispatch round trip
+            # and pick the measured-better depth (rationale at the __init__
             # pipeline_depth comment). np.asarray forces a real transfer.
+            scratch = _rearm(scratch)
             t0 = time.perf_counter()
-            scratch, packed = self._decode_jit(*head, scratch, self.eos_arr, *dextra)
+            scratch, packed = self._decode_jit(*head, scratch, no_eos, *dextra)
             np.asarray(packed)
             t_chunk = time.perf_counter() - t0
             tiny = jax.jit(lambda x: x + 1)

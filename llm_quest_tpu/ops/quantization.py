@@ -28,7 +28,7 @@ adapters pass through in full precision.
 Tied-head models (Qwen3/Qwen3.5/Llama-3.2/Gemma-3 configs set
 ``tie_embeddings``) compute logits as ``h @ tok_emb.w.T`` — so the
 embedding table IS streamed from HBM once per decode step like any other
-linear (311 MB bf16 at Qwen3.5-0.8B's 151k vocab: the single largest
+linear (508 MB bf16 at Qwen3.5-0.8B's 248,320 vocab: the single largest
 matrix in the model). ``quantize_embeddings=True`` quantizes it with
 per-ROW scales, which serve both uses exactly: the head matmul's output
 channel is the vocab row (``(h @ w_q.T) * scale`` — free vector epilogue,

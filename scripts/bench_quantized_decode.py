@@ -36,7 +36,7 @@ BLOCK = os.environ.get("QUANT_BLOCK")  # e.g. 128 for sub-channel scales
 BITS = int(os.environ.get("QUANT_BITS", "8"))  # 8 | 4 (s4 packs 2/byte in HBM)
 WHICH = os.environ.get("QUANT_MODEL", "qwen3_5")  # qwen3_5 | moe
 # per-row int8 tok_emb (tied-head models stream the table per token through
-# the head matmul — the largest single matrix at 151k vocab)
+# the head matmul — the largest single matrix at 248,320 vocab)
 QUANT_EMB = os.environ.get("QUANT_EMB", "1") == "1"
 
 # same 1B-ish MoE as scripts/bench_serving.py — tests the ragged_dot int8

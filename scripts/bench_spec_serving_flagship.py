@@ -4,7 +4,7 @@ bench_spec_serving.py measures spec-serving end-to-end with a TRAINED
 distilled draft at toy scale (where acceptance is meaningful). At 0.8B we
 cannot train a meaningful draft in-session — and with RANDOM 0.8B weights
 at bf16, acceptance itself is unmeasurable: random-init logit gaps over
-the 151k vocab are tiny, so the verify forward's (s=γ+1) matmul tiling vs
+the 248k vocab are tiny, so the verify forward's (s=γ+1) matmul tiling vs
 the draft's s=1 step flips the argmax at essentially every position
 (measured: self-draft prefix agreement 0.0 — NOT an engine bug; the fp32
 toy tests in tests/test_serving.py assert exact self-draft losslessness).
