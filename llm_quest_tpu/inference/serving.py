@@ -99,7 +99,7 @@ from jax import lax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from llm_quest_tpu.inference.generate import _freeze, _is_eos, _normalize_eos
-from llm_quest_tpu.ops.sampling import sampling
+from llm_quest_tpu.ops.sampling import greedy_argmax, sampling
 
 DEFAULT_BUCKETS = (32, 64, 128, 256, 512)
 
@@ -831,7 +831,7 @@ def _spec_chunk_impl(model, draft_model, _frozen, cfg, dcfg, n_slots, max_len,
                 position_ids=(seqpos - 1 + t)[:, None],
             )
             if temp == 0.0:
-                nxt = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
+                nxt = greedy_argmax(logits[:, 0])
                 probs = jnp.zeros((logits.shape[0], 0), jnp.float32)  # unused
             else:
                 probs = mprobs(logits[:, 0])
@@ -841,7 +841,7 @@ def _spec_chunk_impl(model, draft_model, _frozen, cfg, dcfg, n_slots, max_len,
                 if row_sample is not None:  # greedy rows draft via argmax
                     nxt = jnp.where(
                         r_temp > 0, nxt,
-                        jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32),
+                        greedy_argmax(logits[:, 0]),
                     )
             return (d_cache, nxt), (nxt, probs)
 
@@ -865,7 +865,7 @@ def _spec_chunk_impl(model, draft_model, _frozen, cfg, dcfg, n_slots, max_len,
             params, cfg, window, attn_mask=mask_w, cache=cache, position_ids=pos_ids,
         )
         if temp == 0.0:
-            choice = jnp.argmax(t_logits, axis=-1).astype(jnp.int32)  # (b, γ+1)
+            choice = greedy_argmax(t_logits)  # (b, γ+1)
             accept = choice[:, :gamma] == drafted  # (b, γ)
             n = jnp.sum(jnp.cumprod(accept.astype(jnp.int32), axis=1), axis=1)  # (b,)
             corr = jnp.take_along_axis(choice, n[:, None], axis=1)[:, 0]  # correction | bonus
@@ -877,7 +877,7 @@ def _spec_chunk_impl(model, draft_model, _frozen, cfg, dcfg, n_slots, max_len,
             ratio = p_tok / jnp.maximum(q_tok, 1e-20)  # (b, γ)
             accept = jax.random.uniform(r_accept, ratio.shape) < ratio
             if row_sample is not None:  # greedy rows: exact-match acceptance
-                g_choice = jnp.argmax(t_logits, axis=-1).astype(jnp.int32)
+                g_choice = greedy_argmax(t_logits)
                 accept = jnp.where(
                     (r_temp > 0)[:, None], accept, g_choice[:, :gamma] == drafted
                 )

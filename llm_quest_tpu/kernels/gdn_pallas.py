@@ -283,3 +283,167 @@ def _gdn_bwd(chunk_size, interpret, res, cts):
 
 
 gated_delta_rule_pallas.defvjp(_gdn_fwd, _gdn_bwd)
+
+
+# =================================================================== decode
+
+
+def _gdn_step_kernel(q_ref, k_ref, v_ref, beta_ref, alpha_ref, s_ref, out_ref, snew_ref):
+    """Fused single-token gated-delta-rule step: the fp32 state tile is read
+    from HBM ONCE, every intermediate (decayed state, v_old, delta, update,
+    output contraction) lives in VMEM/registers, and the state is written
+    ONCE. The XLA form (ops/gdn.py::gated_delta_rule_step) lowers to 2-3
+    state-sized fusions (decay+v_old pass, update pass, output pass), each
+    round-tripping the (b·h, dv, dk) fp32 state through HBM — at flagship
+    decode that state is 19 MB/seq/layer-stack and the decode step is
+    bandwidth-bound, so the extra passes are directly tokens/sec."""
+    q = q_ref[...].astype(jnp.float32) * (q_ref.shape[-1] ** -0.5)  # (gb, dk)
+    k = k_ref[...].astype(jnp.float32)
+    v = v_ref[...].astype(jnp.float32)  # (gb, dv)
+    beta = beta_ref[...][:, :1]  # (gb, 1) — lane-broadcast operand
+    alpha = alpha_ref[...][:, :1]
+    s = s_ref[...]  # (gb, dv, dk) fp32
+
+    # All contractions are per-row matVECs (dk on the lane axis): the MXU
+    # form wastes 127/128 of each systolic pass (measured 1.7× SLOWER than
+    # the unfused XLA step at b=32); broadcast-multiply + lane-axis reduce
+    # keeps everything on the VPU at state-streaming speed.
+    gated = alpha[:, :, None] * s
+    v_old = jnp.sum(gated * k[:, None, :], axis=2)  # (gb, dv)
+    delta = beta * (v - v_old)  # (gb, dv)
+    s_new = gated + delta[:, :, None] * k[:, None, :]
+    out = jnp.sum(s_new * q[:, None, :], axis=2)  # (gb, dv)
+    snew_ref[...] = s_new
+    out_ref[...] = out.astype(out_ref.dtype)
+
+
+def _gdn_step_stacked_kernel(li_ref, q_ref, k_ref, v_ref, beta_ref, alpha_ref,
+                             s_ref, out_ref, snew_ref):
+    """Stacked-state variant: the refs carry a leading singleton layer dim
+    selected by the scalar-prefetched layer index (index_map), and the FULL
+    (L, bh, dv, dk) buffer aliases input→output, so the model's per-layer
+    slice + dynamic-update-slice around an opaque pallas call — two extra
+    full state copies per layer, measured 2× the XLA step at b=32 —
+    disappears entirely: only layer li's blocks are DMA'd, in place."""
+    q = q_ref[...].astype(jnp.float32) * (q_ref.shape[-1] ** -0.5)
+    k = k_ref[...].astype(jnp.float32)
+    v = v_ref[...].astype(jnp.float32)
+    beta = beta_ref[...][:, :1]
+    alpha = alpha_ref[...][:, :1]
+    s = s_ref[0, ...]  # (gb, dv, dk) fp32
+
+    gated = alpha[:, :, None] * s
+    v_old = jnp.sum(gated * k[:, None, :], axis=2)
+    delta = beta * (v - v_old)
+    s_new = gated + delta[:, :, None] * k[:, None, :]
+    out = jnp.sum(s_new * q[:, None, :], axis=2)
+    snew_ref[0, ...] = s_new
+    out_ref[...] = out.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("bh_block", "interpret"))
+def gated_delta_rule_step_stacked_pallas(q_t, k_t, v_t, beta_t, alpha_t, stacked, layer,
+                                         *, bh_block=None, interpret=False):
+    """In-place fused decode step on a STACKED per-layer state buffer.
+
+    q_t/k_t: (b, h, dk); v_t: (b, h, dv); beta_t/alpha_t: (b, h);
+    stacked: (L, b, h, dv, dk) fp32 — every GDN layer's recurrent state;
+    layer: int32 layer index (runtime scalar — one compiled kernel serves
+    all layers). Returns (out (b, h, dv) in q's dtype, the stacked buffer
+    with layer's state updated IN PLACE via input_output_aliases).
+
+    This is the model-integrated form (models/qwen3_5.py::fused_gdn_step):
+    handing pallas the whole buffer + index instead of a slice is what
+    removes the slice/DUS copies XLA must materialize around an opaque
+    kernel call (it fuses them freely around its OWN fusions, which is why
+    the unfused XLA step doesn't pay them).
+    """
+    L, b, h, dv2, dk = stacked.shape[0], *q_t.shape[:2], v_t.shape[-1], k_t.shape[-1]
+    dv = dv2
+    bh = b * h
+    qf, kf = q_t.reshape(bh, dk), k_t.reshape(bh, dk)
+    vf = v_t.reshape(bh, dv)
+    bf = jnp.broadcast_to(beta_t.astype(jnp.float32).reshape(bh, 1), (bh, 8))
+    af = jnp.broadcast_to(alpha_t.astype(jnp.float32).reshape(bh, 1), (bh, 8))
+    sf = stacked.reshape(L, bh, dv, dk)
+
+    gb = bh_block or min(bh, 32)
+    if bh % gb or not (gb == bh or gb % 8 == 0):
+        gb = next(
+            (g for g in range(min(gb, bh), 0, -1) if bh % g == 0 and (g == bh or g % 8 == 0)),
+            bh,
+        )
+
+    row_spec = lambda d: pl.BlockSpec((gb, d), lambda i, li: (i, 0))
+    st_spec = pl.BlockSpec((1, gb, dv, dk), lambda i, li: (li[0], i, 0, 0))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(bh // gb,),
+        in_specs=[row_spec(dk), row_spec(dk), row_spec(dv), row_spec(8), row_spec(8), st_spec],
+        out_specs=[row_spec(dv), st_spec],
+    )
+    out, s_new = pl.pallas_call(
+        _gdn_step_stacked_kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, dv), q_t.dtype),
+            jax.ShapeDtypeStruct((L, bh, dv, dk), jnp.float32),
+        ],
+        # operand 6 = the stacked state (after the 1 scalar-prefetch arg)
+        input_output_aliases={6: 1},
+        interpret=interpret,
+    )(jnp.asarray([layer], jnp.int32), qf, kf, vf, bf, af, sf)
+    return out.reshape(b, h, dv), s_new.reshape(stacked.shape)
+
+
+@functools.partial(jax.jit, static_argnames=("bh_block", "interpret"))
+def gated_delta_rule_step_pallas(q_t, k_t, v_t, beta_t, alpha_t, state, *,
+                                 bh_block=None, interpret=False):
+    """Drop-in fused replacement for ops.gdn.gated_delta_rule_step.
+
+    q_t/k_t: (b, h, dk); v_t: (b, h, dv); beta_t/alpha_t: (b, h);
+    state: (b, h, dv, dk) fp32. Returns (out (b, h, dv) in q's dtype,
+    new_state fp32). The new state ALIASES the input state buffer
+    (input_output_aliases) — no second state allocation.
+
+    Inference-only (the training path differentiates the chunked kernel);
+    reference semantics: qwen3_5_text_model.py:459-507.
+    """
+    b, h, dk = k_t.shape
+    dv = v_t.shape[-1]
+    bh = b * h
+    qf, kf = q_t.reshape(bh, dk), k_t.reshape(bh, dk)
+    vf = v_t.reshape(bh, dv)
+    # β/α as (bh, 8) fp32 lanes: a (gb, 8) block keeps the operand 2-D and
+    # tile-legal; the kernel reads lane 0. 8 lanes × 4 B is noise next to
+    # the 64 KB/row state.
+    bf = jnp.broadcast_to(beta_t.astype(jnp.float32).reshape(bh, 1), (bh, 8))
+    af = jnp.broadcast_to(alpha_t.astype(jnp.float32).reshape(bh, 1), (bh, 8))
+    sf = state.reshape(bh, dv, dk).astype(jnp.float32)
+
+    # gb: largest row block ≤ 32 (2 MB fp32 state tile at 128×128 — leaves
+    # VMEM room for pipelining) that divides bh and tiles legally
+    gb = bh_block or min(bh, 32)
+    if bh % gb or not (gb == bh or gb % 8 == 0):
+        gb = next(
+            (g for g in range(min(gb, bh), 0, -1) if bh % g == 0 and (g == bh or g % 8 == 0)),
+            bh,
+        )
+
+    row_spec = lambda d: pl.BlockSpec((gb, d), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    st_spec = pl.BlockSpec((gb, dv, dk), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+
+    out, s_new = pl.pallas_call(
+        _gdn_step_kernel,
+        grid=(bh // gb,),
+        in_specs=[row_spec(dk), row_spec(dk), row_spec(dv), row_spec(8), row_spec(8), st_spec],
+        out_specs=[row_spec(dv), st_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, dv), q_t.dtype),
+            jax.ShapeDtypeStruct((bh, dv, dk), jnp.float32),
+        ],
+        input_output_aliases={5: 1},
+        interpret=interpret,
+    )(qf, kf, vf, bf, af, sf)
+    return out.reshape(b, h, dv), s_new.reshape(b, h, dv, dk)

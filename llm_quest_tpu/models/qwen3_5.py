@@ -294,8 +294,12 @@ def fused_gdn(params, cfg, x, attn_mask_cur, gdn_state):
     return out, new_state
 
 
-def fused_gdn_step(params, cfg, x, gdn_state):
-    """Single-token FusedGDN decode step. x: (b, 1, d)."""
+def fused_gdn_step(params, cfg, x, conv_state, rec_stacked, layer):
+    """Single-token FusedGDN decode step. x: (b, 1, d); ``conv_state`` is
+    THIS layer's rolling taps, ``rec_stacked`` the (n_gdn, b, h, dv, dk)
+    stacked recurrent cache updated in place at ``layer`` (the Pallas step
+    kernel aliases the whole buffer — no per-layer slice/update copies).
+    Returns (out, new_conv_state, updated rec_stacked)."""
     b = x.shape[0]
     d_qk, d_vg, _ = _fused_dims(cfg)
     num_repeat = cfg["linear_num_value_heads"] // cfg["linear_num_qk_heads"]
@@ -304,7 +308,7 @@ def fused_gdn_step(params, cfg, x, gdn_state):
     x_t = x[:, 0, :]
 
     fused_in = linear(params["w_qkv"], x_t)
-    fused_c, conv_state = gdn_ops.causal_conv1d_update(params["conv1d"], fused_in, gdn_state["conv"])
+    fused_c, conv_state = gdn_ops.causal_conv1d_update(params["conv1d"], fused_in, conv_state)
     fused_c = silu(fused_c)
     q, k, v = jnp.split(fused_c, [d_qk, 2 * d_qk], axis=-1)
     q = gdn_ops.l2_norm_clamp(q.reshape(b, nqk, dqk))
@@ -319,9 +323,11 @@ def fused_gdn_step(params, cfg, x, gdn_state):
         params["log_A"], linear(params["w_alpha"], x_t[:, None, :]), params["dt_bias"]
     )[:, 0, :]
 
-    ctx, recurrent = gdn_ops.gated_delta_rule_step(q, k, v, beta, alpha, gdn_state["recurrent"])
+    ctx, rec_stacked = gdn_ops.gated_delta_rule_step_stacked_auto(
+        cfg, q, k, v, beta, alpha, rec_stacked, layer
+    )
     out = _gdn_output(params, cfg, x, ctx[:, :, None, :])
-    return out, {"conv": conv_state, "recurrent": recurrent}
+    return out, conv_state, rec_stacked
 
 
 def _gdn_output(params, cfg, x, ctx):
@@ -441,7 +447,7 @@ def init_cache(cfg, batch, max_len, *, dtype=None):
         }
     return {
         **kv,
-        "conv": jnp.zeros((n_gdn, batch, fused, ksz - 1), dtype),
+        "conv": jnp.zeros((n_gdn, batch, ksz - 1, fused), dtype),
         "recurrent": jnp.zeros(
             (n_gdn, batch, cfg["linear_num_value_heads"], cfg["linear_value_head_dim"], cfg["linear_qk_head_dim"]),
             jnp.float32,
@@ -464,10 +470,15 @@ def apply_text(
     inputs_embs=None,
     position_ids=None,
     cache=None,
+    output_hidden_states=False,
     **_,
 ):
     """Text forward. position_ids: (3, b, s) MRoPE ids or None (text-only →
-    sequential on all 3 dims). Returns (logits, cache, aux)."""
+    sequential on all 3 dims). Returns (logits, cache, aux);
+    ``output_hidden_states=True`` returns the final-norm hidden states
+    instead of logits (the fused-head-CE training path — the (tokens,
+    248k-vocab) logit tensor never materializes; see
+    training/engine.py::make_train_step + ``head_weights``)."""
     h = inputs_embs if inputs_embs is not None else embedding(params["tok_emb"], x)
     b, s = h.shape[:2]
     cos, sin = rope_tables(cfg)
@@ -509,17 +520,24 @@ def apply_text(
             if cache is None:
                 att_out, _ = fused_gdn(block["att"], cfg, hn, mask_cur, None)
             else:
-                st = {"conv": cache["conv"][gdn_i], "recurrent": cache["recurrent"][gdn_i]}
                 if decode_step:
                     hn_m = hn if mask_cur is None else hn * mask_cur[..., None].astype(hn.dtype)
-                    att_out, st = fused_gdn_step(block["att"], cfg, hn_m, st)
+                    att_out, new_conv, rec = fused_gdn_step(
+                        block["att"], cfg, hn_m, cache["conv"][gdn_i], cache["recurrent"], gdn_i
+                    )
+                    cache = {
+                        **cache,
+                        "conv": cache["conv"].at[gdn_i].set(new_conv),
+                        "recurrent": rec,
+                    }
                 else:
+                    st = {"conv": cache["conv"][gdn_i], "recurrent": cache["recurrent"][gdn_i]}
                     att_out, st = fused_gdn(block["att"], cfg, hn, mask_cur, st)
-                cache = {
-                    **cache,
-                    "conv": cache["conv"].at[gdn_i].set(st["conv"]),
-                    "recurrent": cache["recurrent"].at[gdn_i].set(st["recurrent"]),
-                }
+                    cache = {
+                        **cache,
+                        "conv": cache["conv"].at[gdn_i].set(st["conv"]),
+                        "recurrent": cache["recurrent"].at[gdn_i].set(st["recurrent"]),
+                    }
             gdn_i += 1
         else:
             kv_view = None
@@ -547,11 +565,21 @@ def apply_text(
     if cache is not None:
         cache = {**cache, "pos": cache["pos"] + s}
 
+    if output_hidden_states:
+        return h, cache, {}
     if cfg["tie_embeddings"]:
         logits = tied_head(params["tok_emb"], h)
     else:
         logits = linear(params["out"], h)
     return logits, cache, {}
+
+
+def head_weights(params, cfg):
+    """(d, vocab) output-head matrix — the fused-CE training path. The
+    flagship ties the head to the 248,320-row embedding table."""
+    if cfg["tie_embeddings"]:
+        return params["tok_emb"]["w"].T
+    return params["out"]["w"]
 
 
 # ==================================================================== VLM

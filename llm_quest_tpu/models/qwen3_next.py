@@ -209,9 +209,13 @@ def gated_delta_net(params, cfg, x, attn_mask_cur, gdn_state):
     return out, new_state
 
 
-def gated_delta_net_step(params, cfg, x, gdn_state):
+def gated_delta_net_step(params, cfg, x, conv_states, rec_stacked, layer):
     """Single-token GDN decode step with rolling conv + recurrent state.
-    x: (b, 1, d). Returns (out (b, 1, d), new_gdn_state)."""
+    x: (b, 1, d); ``conv_states``: this layer's {"conv_q","conv_k","conv_v"}
+    taps; ``rec_stacked``: the (n_gdn, b, h, dv, dk) stacked recurrent
+    cache, updated in place at ``layer`` (Pallas whole-buffer aliasing — see
+    ops/gdn.py::gated_delta_rule_step_stacked_auto). Returns
+    (out (b, 1, d), new conv dict, updated rec_stacked)."""
     b = x.shape[0]
     num_repeat = cfg["linear_num_value_heads"] // cfg["linear_num_qk_heads"]
     nqk, dqk = cfg["linear_num_qk_heads"], cfg["linear_qk_head_dim"]
@@ -222,9 +226,9 @@ def gated_delta_net_step(params, cfg, x, gdn_state):
     k_in = linear(params["wk"], x_t)
     v_in = linear(params["wv"], x_t)
 
-    q_c, conv_q = gdn_ops.causal_conv1d_update(params["conv_q"], q_in, gdn_state["conv_q"])
-    k_c, conv_k = gdn_ops.causal_conv1d_update(params["conv_k"], k_in, gdn_state["conv_k"])
-    v_c, conv_v = gdn_ops.causal_conv1d_update(params["conv_v"], v_in, gdn_state["conv_v"])
+    q_c, conv_q = gdn_ops.causal_conv1d_update(params["conv_q"], q_in, conv_states["conv_q"])
+    k_c, conv_k = gdn_ops.causal_conv1d_update(params["conv_k"], k_in, conv_states["conv_k"])
+    v_c, conv_v = gdn_ops.causal_conv1d_update(params["conv_v"], v_in, conv_states["conv_v"])
 
     # channel-major head split (c = h·hd with channels grouped per head)
     q = gdn_ops.l2_norm_clamp(silu(q_c).reshape(b, nqk, dqk))
@@ -239,10 +243,12 @@ def gated_delta_net_step(params, cfg, x, gdn_state):
         :, 0, :
     ]
 
-    ctx, recurrent = gdn_ops.gated_delta_rule_step(q, k, v, beta, alpha, gdn_state["recurrent"])
+    ctx, rec_stacked = gdn_ops.gated_delta_rule_step_stacked_auto(
+        cfg, q, k, v, beta, alpha, rec_stacked, layer
+    )
 
     out = _gdn_output(params, cfg, x, ctx[:, :, None, :])
-    return out, {"conv_q": conv_q, "conv_k": conv_k, "conv_v": conv_v, "recurrent": recurrent}
+    return out, {"conv_q": conv_q, "conv_k": conv_k, "conv_v": conv_v}, rec_stacked
 
 
 def _gdn_output(params, cfg, x, ctx):
@@ -310,9 +316,9 @@ def init_cache(cfg, batch, max_len, *, dtype=None):
         }
     return {
         **kv,
-        "conv_q": jnp.zeros((n_gdn, batch, d_qk, ksz - 1), dtype),
-        "conv_k": jnp.zeros((n_gdn, batch, d_qk, ksz - 1), dtype),
-        "conv_v": jnp.zeros((n_gdn, batch, d_vg, ksz - 1), dtype),
+        "conv_q": jnp.zeros((n_gdn, batch, ksz - 1, d_qk), dtype),
+        "conv_k": jnp.zeros((n_gdn, batch, ksz - 1, d_qk), dtype),
+        "conv_v": jnp.zeros((n_gdn, batch, ksz - 1, d_vg), dtype),
         "recurrent": jnp.zeros(
             (n_gdn, batch, cfg["linear_num_value_heads"], cfg["linear_value_head_dim"], cfg["linear_qk_head_dim"]),
             jnp.float32,
@@ -400,6 +406,20 @@ def apply(
         if is_gdn_layer(cfg, i):
             if cache is None:
                 att_out, _ = gated_delta_net(block["att"], cfg, hn, mask_cur, None)
+            elif decode_step:
+                hn_m = hn if mask_cur is None else hn * mask_cur[..., None].astype(hn.dtype)
+                att_out, convs, rec = gated_delta_net_step(
+                    block["att"], cfg, hn_m,
+                    {k_: cache[k_][gdn_i] for k_ in ("conv_q", "conv_k", "conv_v")},
+                    cache["recurrent"], gdn_i,
+                )
+                cache = {
+                    **cache,
+                    "conv_q": cache["conv_q"].at[gdn_i].set(convs["conv_q"]),
+                    "conv_k": cache["conv_k"].at[gdn_i].set(convs["conv_k"]),
+                    "conv_v": cache["conv_v"].at[gdn_i].set(convs["conv_v"]),
+                    "recurrent": rec,
+                }
             else:
                 st = {
                     "conv_q": cache["conv_q"][gdn_i],
@@ -407,11 +427,7 @@ def apply(
                     "conv_v": cache["conv_v"][gdn_i],
                     "recurrent": cache["recurrent"][gdn_i],
                 }
-                if decode_step:
-                    hn_m = hn if mask_cur is None else hn * mask_cur[..., None].astype(hn.dtype)
-                    att_out, st = gated_delta_net_step(block["att"], cfg, hn_m, st)
-                else:
-                    att_out, st = gated_delta_net(block["att"], cfg, hn, mask_cur, st)
+                att_out, st = gated_delta_net(block["att"], cfg, hn, mask_cur, st)
                 cache = {
                     **cache,
                     "conv_q": cache["conv_q"].at[gdn_i].set(st["conv_q"]),

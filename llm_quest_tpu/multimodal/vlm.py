@@ -24,6 +24,7 @@ from llm_quest_tpu.models import gpt2
 from llm_quest_tpu.ops.activations import gelu_erf
 from llm_quest_tpu.ops.linear import init_linear, linear
 from llm_quest_tpu.ops.losses import cross_entropy
+from llm_quest_tpu.ops import sampling as sampling_ops
 
 
 def init_adapter(key, vit_d_out, llm_d_in, *, adapter_type="simple", hidden_size_factor=4, bias=False,
@@ -109,7 +110,7 @@ def vlm_generate(
 
     def step(carry, i):
         cache, mask_buf, finished, logits = carry
-        tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        tok = sampling_ops.greedy_argmax(logits)
         tok = jnp.where(finished, pad_id, tok)
         finished = finished | (tok == eos)
         mask_buf = mask_buf.at[:, prefill_len + i].set(~finished)

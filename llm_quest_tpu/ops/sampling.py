@@ -21,6 +21,32 @@ import jax
 import jax.numpy as jnp
 
 
+def greedy_argmax(logits):
+    """Last-axis argmax via a lane-chunked two-stage reduction.
+
+    XLA lowers ``jnp.argmax`` over a large trailing axis to a variadic
+    (value, index) reduction that measures ~76× the logits-read floor on
+    TPU at (32, 248320) — 1.48 ms for a 15.9 MB read. Stage 1 is a plain
+    128-lane max (bandwidth-bound); the two remaining argmaxes run on
+    vocab/128 and 128 elements. First-occurrence tie semantics are
+    preserved exactly (earliest group wins, then earliest lane), so greedy
+    decode parity with ``jnp.argmax`` — and the torch reference — holds.
+    """
+    *lead, v = logits.shape
+    g = 128
+    x = logits.reshape(-1, v)
+    pad = (-v) % g
+    if pad:
+        fill = jnp.finfo(logits.dtype).min if jnp.issubdtype(logits.dtype, jnp.floating) else jnp.iinfo(logits.dtype).min
+        x = jnp.pad(x, ((0, 0), (0, pad)), constant_values=fill)
+    x = x.reshape(x.shape[0], -1, g)
+    gmax = jnp.max(x, axis=2)  # (n, groups) — the only full-width pass
+    gi = jnp.argmax(gmax, axis=1)  # (n,)
+    grp = jnp.take_along_axis(x, gi[:, None, None], axis=1)[:, 0]  # (n, g)
+    li = jnp.argmax(grp, axis=1)
+    return (gi * g + li).astype(jnp.int32).reshape(lead)
+
+
 def top_k_filter(probs, k):
     """Zero out everything below the k-th largest probability
     (reference: generate.py:517-536)."""
@@ -74,7 +100,7 @@ def sampling(rng, logits, *, top_k=None, top_p=None, min_p=None, temp=0.0):
     temperature must be a static python float (it selects the code path).
     """
     if temp == 0.0:
-        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return greedy_argmax(logits)
 
     probs = jax.nn.softmax(logits.astype(jnp.float32) / temp, axis=-1)
     probs = filter_probs(probs, top_k=top_k, top_p=top_p, min_p=min_p)
@@ -137,5 +163,5 @@ def sampling_per_row(rng, logits, *, temp, top_k, top_p, min_p):
     probs = jax.nn.softmax(logits.astype(jnp.float32) / t_eff, axis=-1)
     probs = filter_probs_per_row(probs, top_k=top_k, top_p=top_p, min_p=min_p)
     sampled = jax.random.categorical(rng, jnp.log(probs), axis=-1).astype(jnp.int32)
-    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    greedy = greedy_argmax(logits)
     return jnp.where(temp > 0, sampled, greedy)

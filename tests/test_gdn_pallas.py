@@ -107,3 +107,81 @@ def test_gradients_padded_and_vs_scan_oracle():
         assert float(jnp.max(jnp.abs(a - b))) < TOL
     for a, b in zip(gp, gs):
         assert float(jnp.max(jnp.abs(a - b))) < max(TOL, 5e-4)  # scan vs chunked assoc. drift
+
+
+# ---------------------------------------------------------------- decode step
+
+
+@pytest.mark.parametrize("b,h,dk,dv", [(1, 16, 128, 128), (3, 8, 64, 64), (32, 16, 128, 128)])
+def test_step_kernel_matches_xla_step(b, h, dk, dv):
+    from llm_quest_tpu.kernels.gdn_pallas import gated_delta_rule_step_pallas
+    from llm_quest_tpu.ops.gdn import gated_delta_rule_step, l2_norm_clamp
+
+    ks = jax.random.split(jax.random.PRNGKey(7), 6)
+    q = l2_norm_clamp(jax.random.normal(ks[0], (b, h, dk), jnp.bfloat16))
+    k = l2_norm_clamp(jax.random.normal(ks[1], (b, h, dk), jnp.bfloat16))
+    v = jax.random.normal(ks[2], (b, h, dv), jnp.bfloat16)
+    beta = jax.nn.sigmoid(jax.random.normal(ks[3], (b, h)))
+    alpha = jax.nn.sigmoid(jax.random.normal(ks[4], (b, h)) * 0.3 + 2.0)
+    s0 = jax.random.normal(ks[5], (b, h, dv, dk), jnp.float32) * 0.1
+
+    out_ref, st_ref = gated_delta_rule_step(q, k, v, beta, alpha, s0)
+    out, st = gated_delta_rule_step_pallas(q, k, v, beta, alpha, s0, interpret=INTERPRET)
+    assert out.dtype == out_ref.dtype and st.dtype == jnp.float32
+    assert float(jnp.abs(st - st_ref).max()) < TOL
+    # the output is cast to q's dtype — bf16 quantization of a borderline
+    # value dominates the fp32 reduction-order difference
+    out_tol = TOL if out.dtype == jnp.float32 else 8e-3
+    assert float(jnp.abs(out.astype(jnp.float32) - out_ref.astype(jnp.float32)).max()) < out_tol
+
+
+def test_step_kernel_chains_like_scan():
+    """γ chained decode steps through the kernel == the scan recurrence."""
+    from llm_quest_tpu.kernels.gdn_pallas import gated_delta_rule_step_pallas
+    from llm_quest_tpu.ops.gdn import gated_delta_rule, l2_norm_clamp
+
+    b, h, s, dk, dv = 2, 8, 6, 64, 64
+    ks = jax.random.split(jax.random.PRNGKey(3), 6)
+    q = l2_norm_clamp(jax.random.normal(ks[0], (b, h, s, dk), jnp.float32))
+    k = l2_norm_clamp(jax.random.normal(ks[1], (b, h, s, dk), jnp.float32))
+    v = jax.random.normal(ks[2], (b, h, s, dv), jnp.float32)
+    beta = jax.nn.sigmoid(jax.random.normal(ks[3], (b, h, s)))
+    alpha = jax.nn.sigmoid(jax.random.normal(ks[4], (b, h, s)) * 0.3 + 2.0)
+    s0 = jax.random.normal(ks[5], (b, h, dv, dk), jnp.float32) * 0.1
+
+    out_ref, st_ref = gated_delta_rule(q, k, v, beta, alpha, prev_state=s0)
+    st = s0
+    for t in range(s):
+        out_t, st = gated_delta_rule_step_pallas(
+            q[:, :, t], k[:, :, t], v[:, :, t], beta[:, :, t], alpha[:, :, t], st,
+            interpret=INTERPRET,
+        )
+        assert float(jnp.abs(out_t - out_ref[:, :, t]).max()) < TOL
+    assert float(jnp.abs(st - st_ref).max()) < TOL
+
+
+def test_step_stacked_kernel_in_place_update():
+    """Stacked-buffer step kernel: updates ONLY the addressed layer, leaves
+    every other layer bit-identical, and matches the XLA step's math."""
+    from llm_quest_tpu.kernels.gdn_pallas import gated_delta_rule_step_stacked_pallas
+    from llm_quest_tpu.ops.gdn import gated_delta_rule_step, l2_norm_clamp
+
+    L, b, h, dk, dv = 4, 2, 8, 64, 64
+    ks = jax.random.split(jax.random.PRNGKey(11), 6)
+    q = l2_norm_clamp(jax.random.normal(ks[0], (b, h, dk), jnp.float32))
+    k = l2_norm_clamp(jax.random.normal(ks[1], (b, h, dk), jnp.float32))
+    v = jax.random.normal(ks[2], (b, h, dv), jnp.float32)
+    beta = jax.nn.sigmoid(jax.random.normal(ks[3], (b, h)))
+    alpha = jax.nn.sigmoid(jax.random.normal(ks[4], (b, h)) * 0.3 + 2.0)
+    stacked = jax.random.normal(ks[5], (L, b, h, dv, dk), jnp.float32) * 0.1
+
+    for layer in (0, 2, L - 1):
+        out_ref, st_ref = gated_delta_rule_step(q, k, v, beta, alpha, stacked[layer])
+        out, new_stacked = gated_delta_rule_step_stacked_pallas(
+            q, k, v, beta, alpha, stacked, layer, interpret=INTERPRET
+        )
+        assert float(jnp.abs(out - out_ref).max()) < TOL
+        assert float(jnp.abs(new_stacked[layer] - st_ref).max()) < TOL
+        for other in range(L):
+            if other != layer:
+                assert jnp.array_equal(new_stacked[other], stacked[other]), other

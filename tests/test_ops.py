@@ -283,3 +283,24 @@ def test_sampling_per_row_matches_scalar_and_mixes():
     am = np.asarray(jnp.argmax(logits, axis=-1))
     assert out[0] == am[0] and out[2] == am[2] and out[5] == am[5]
     assert out[1] == am[1]  # top_k=1 keeps only the argmax
+
+
+def test_greedy_argmax_matches_jnp_argmax_with_ties():
+    from llm_quest_tpu.ops.sampling import greedy_argmax
+
+    rng = np.random.default_rng(0)
+    # non-multiple-of-128 vocab exercises the pad path; planted ties check
+    # first-occurrence semantics (group and lane level)
+    x = rng.normal(size=(5, 1003)).astype(np.float32)
+    x[0, 7] = x[0, 900] = 50.0       # cross-group tie -> first group wins
+    x[1, 130] = x[1, 131] = 50.0     # in-group tie -> first lane wins
+    x[2, 1002] = 99.0                # last (padded-edge) column
+    got = greedy_argmax(jnp.asarray(x))
+    ref = jnp.argmax(jnp.asarray(x), axis=-1).astype(jnp.int32)
+    assert jnp.array_equal(got, ref)
+
+    x3 = jnp.asarray(rng.normal(size=(2, 3, 515)).astype(np.float32))  # (b, γ, v)
+    assert jnp.array_equal(greedy_argmax(x3), jnp.argmax(x3, axis=-1).astype(jnp.int32))
+
+    xb = jnp.asarray(rng.normal(size=(4, 384)), jnp.bfloat16)
+    assert jnp.array_equal(greedy_argmax(xb), jnp.argmax(xb, axis=-1).astype(jnp.int32))

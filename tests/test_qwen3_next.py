@@ -101,7 +101,7 @@ def test_causal_conv_update_matches_full():
     params = gdn_ops.init_conv1d(jax.random.PRNGKey(0), c, ksz)
     full = gdn_ops.causal_conv1d(params, x)
 
-    state = jnp.zeros((b, c, ksz - 1), jnp.float32)
+    state = jnp.zeros((b, ksz - 1, c), jnp.float32)
     outs = []
     for t in range(s):
         o, state = gdn_ops.causal_conv1d_update(params, x[:, t], state)

@@ -135,3 +135,49 @@ def test_vlm_generate_shapes():
     tokens = vlm.vlm_generate(vit, vit_params, VIT_TINY, adapter, llm_params, GPT_TINY, images, bos_id=1, max_gen=5)
     assert tokens.shape == (2, 5)
     assert jnp.all((tokens >= 0) & (tokens < 128))
+
+
+@pytest.mark.slow
+def test_tinyvit_synthetic_convergence_accuracy_bar():
+    """Training-correctness bar for the ViT engine beyond loss-goes-down.
+
+    The reference's only published accuracy baseline is TinyViT CIFAR-10
+    71.82% @ 20 epochs (reference: multimodal/vision_transformer/
+    README.md:77-80). CIFAR-10 itself is network-gated in this container
+    (no egress — documented in COVERAGE.md), so this test states a bar on
+    a synthetic task with known structure instead: 10 fixed class
+    templates + strong pixel noise (SNR 0.5), TinyViT at the reference
+    config, full engine path (patchify→blocks→CLS head, AdamW + cosine,
+    accuracy evaluator). Bayes accuracy ~1.0; the engine must reach
+    >= 0.90 held-out accuracy — a real learning bar, not a smoke test.
+    """
+    import numpy as np
+
+    from llm_quest_tpu import config as cfg_mod
+    from llm_quest_tpu.models import vit
+    from llm_quest_tpu.training.vit_engine import vit_training_eval_loop
+
+    cfg = dict(cfg_mod.TINY_VIT_CONFIG)
+    rng = np.random.default_rng(0)
+    templates = rng.normal(size=(10, 3, cfg["img_height"], cfg["img_width"])).astype(np.float32)
+    n_train, n_val, b = 576, 192, 64
+
+    def make_split(n, seed):
+        r = np.random.default_rng(seed)
+        y = r.integers(0, 10, size=(n,))
+        x = 0.5 * templates[y] + r.normal(size=(n, 3, cfg["img_height"], cfg["img_width"]))
+        return x.astype(np.float32), y.astype(np.int32)
+
+    tr_x, tr_y = make_split(n_train, 1)
+    va_x, va_y = make_split(n_val, 2)
+    loader = lambda x, y: [
+        {"image": x[i : i + b], "label": y[i : i + b]} for i in range(0, len(x), b)
+    ]
+
+    params = vit.init(jax.random.PRNGKey(123), cfg)
+    _, metrics = vit_training_eval_loop(
+        vit, cfg, params, loader(tr_x, tr_y), loader(va_x, va_y),
+        num_epoch=12, peak_lr=3e-4, min_lr=3e-5, warmup_steps=20,
+        eval_freq=27, eval_iter=3, log=lambda *_: None,
+    )
+    assert max(metrics["val_acc"]) >= 0.90, metrics["val_acc"]
