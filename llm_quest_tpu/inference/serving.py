@@ -1216,12 +1216,19 @@ class ContinuousBatchingEngine:
 
     # ------------------------------------------------------------- scheduling
 
-    def warmup(self):
+    def warmup(self, image_shape=None, image_dtype=np.float32):
         """Pre-execute every admit group shape plus the decode chunk on a
         scratch state, so a live serve never pays trace + program-load
         mid-flight (each admit group size is its own program; measured
         ~0.5-2 s per untraced shape inside a latency-sensitive loop).
-        Chains donated scratch states — one state copy total."""
+        Chains donated scratch states — one state copy total.
+
+        ``image_shape``: per-request pixel shape (e.g. (3, 2, 384, 384))
+        to ALSO warm the multimodal admit family — the VLM admit programs
+        are keyed by (group size, bucket, pixel shape), which plain warmup
+        cannot know. Without this, a serve whose retirement pattern hits a
+        new wave size pays a fresh compile mid-flight (measured as a
+        187-467 tok/s spread on the VLM serving bench)."""
         ks, k = [], 1
         top = 1 << max(0, self.n_slots - 1).bit_length()
         while k <= top:
@@ -1230,6 +1237,26 @@ class ContinuousBatchingEngine:
         if self._wave_multiple:  # EP waves never go below the device multiple
             ks = sorted({max(k, self._wave_multiple) for k in ks})
         scratch = jax.tree.map(jnp.copy, self.state)
+        if image_shape is not None:
+            # run the real VLM admit path on the scratch: swap state in,
+            # admit dummy image requests at every (bucket, wave size), then
+            # restore — live slots/requests are untouched
+            saved_state, saved_slots = self.state, list(self._slot_req)
+            saved_reqs = dict(self._requests)
+            self.state = scratch
+            p = self.cfg["patch_size"]
+            n_vis = (image_shape[-2] // p) * (image_shape[-1] // p) // self.cfg["spatial_merge_size"] ** 2
+            pixels = np.zeros(image_shape, image_dtype)
+            for lb in self.buckets:
+                for k in [g for g in ks if g <= self.n_slots]:
+                    ids = [self.cfg["image_token_id"]] * min(n_vis, lb - 1) + [1]
+                    ids = (ids + [1] * lb)[:lb]
+                    reqs = [_Request(-1 - j, np.asarray(ids, np.int32), 1, pixels=pixels)
+                            for j in range(k)]
+                    self._admit_group_vlm(reqs, list(range(k)))
+            scratch = self.state
+            self.state, self._slot_req = saved_state, saved_slots
+            self._requests = saved_reqs
         for lb in self.buckets:
             for k in ks:
                 pmask = np.zeros((k, lb), bool)

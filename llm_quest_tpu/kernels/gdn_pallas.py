@@ -186,6 +186,11 @@ def _gdn_pallas_call(
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((gb, dv, dk), jnp.float32)],
+        # the default 16 MB scoped-VMEM cap is marginal at gb=16/c=128/
+        # dk=dv=128 (the flagship prefill shape measured 17.84 MB under the
+        # AOT compile path and failed); v5e has far more physical VMEM —
+        # raise the cap instead of shrinking the calibrated tiling
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(qf, kf, vf, bf, af, s0)
 

@@ -182,6 +182,12 @@ def profile(b):
         t = timed(chain(gdn_kernel_body, (st5, jnp.zeros((b, NV, DV)))))
         results["gdn_kernel"] = row("gdn_kernel", t, 2 * sbytes, "(in-place stacked: 1R+1W per layer)")
 
+    # free the GDN stage buffers before the param-heavy stages — at b=128
+    # three live 2.4 GB state copies OOM the full-model stage
+    del states
+    if jax.default_backend() == "tpu":
+        del st5
+
     # ---- conv: rolling depthwise taps ----
     _, _, fused = qwen3_5._fused_dims(CFG)
     ksz = CFG["linear_conv_kernel_size"]
@@ -295,6 +301,7 @@ def profile(b):
     results["sample2"] = row("sample2", t, lbytes, "(two-stage greedy_argmax)")
 
     # ---- full: the real model decode step ----
+    del state, conv_state, kvc
     cache0 = qwen3_5.init_cache(CFG, b, MAX_LEN)
     # advance pos to mid-cache so attention reads a realistic KV span
     cache0 = {**cache0, "pos": jnp.full((), MAX_LEN // 2, jnp.int32)}

@@ -456,6 +456,9 @@ def test_serving_multimodal_vlm():
         VLM, params, VLM_CFG, n_slots=2, max_len=48, decode_chunk=3,
         prefill_buckets=(16,), temp=0.0, eos_ids=-1, pad_id=0,
     )
+    # warm the multimodal admit family too (round 5): must not perturb live
+    # state — the parity assertions below would catch any leakage
+    engine.warmup(image_shape=images[0].shape)
     rids = [engine.submit(p, 6, pixels=img) for p, img in zip(prompts, images)]
     rid_text = engine.submit(text_only, 6)
     while engine.step():
