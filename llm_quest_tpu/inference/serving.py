@@ -168,6 +168,7 @@ class _Request:
     done: bool = False
     prefix: int | None = None  # registered prefix id (register_prefix)
     pixels: np.ndarray | None = None  # multimodal: image pixels for this prompt
+    pixels_dev: object = None  # device-resident copy (async-uploaded at submit)
     adapter: int | None = None  # multi-LoRA: stacked adapter id for this request
     sample: np.ndarray | None = None  # per-request [temp, top_k, top_p, min_p] override
     # observability timestamps (time.monotonic): queued / admitted to a slot /
@@ -298,6 +299,7 @@ def _admit_prefix_impl(model, _frozen, cfg, n_slots, max_len, cache_dtype, plen,
 
 
 def _admit_vlm_impl(model, _frozen, cfg, n_slots, max_len, cache_dtype,
+                    pixel_transform,
                     params, state, prompts, pmasks, pixels, prompt_pos, next_pos0,
                     slots, budgets):
     """Admit k MULTIMODAL requests: encode each image ONCE inside the admit
@@ -308,6 +310,10 @@ def _admit_vlm_impl(model, _frozen, cfg, n_slots, max_len, cache_dtype,
     max 3-D position + 1, NOT the text length — MRoPE counts the 2-D image
     grid), which apply_text broadcasts back to T=H=W."""
     k, lb = prompts.shape
+    if pixel_transform is not None:
+        # on-device preprocessing (e.g. uint8 -> normalized bf16): the wire
+        # carries 1/4 the bytes and the convert fuses into the encode
+        pixels = pixel_transform(pixels)
     grp_cache = model.init_cache(cfg, k, max_len, dtype=cache_dtype)
     grp_mask = jnp.zeros((k, max_len), bool).at[:, :lb].set(pmasks)
     logits_all, grp_cache, _ = model.apply(
@@ -333,7 +339,8 @@ def _admit_vlm_impl(model, _frozen, cfg, n_slots, max_len, cache_dtype,
     }
 
 
-def _admit_vlm_prefix_impl(model, _frozen, cfg, n_slots, max_len, cache_dtype, plen,
+def _admit_vlm_prefix_impl(model, _frozen, cfg, n_slots, max_len, cache_dtype,
+                           pixel_transform, plen,
                            params, state, pcache, prompts, pmasks, pixels, prompt_pos,
                            next_pos0, slots, budgets):
     """_admit_vlm_impl on top of a registered TEXT prefix: the broadcast
@@ -343,6 +350,8 @@ def _admit_vlm_prefix_impl(model, _frozen, cfg, n_slots, max_len, cache_dtype, p
     position cumsum (compute_3d_position_ids is translation-invariant there;
     register_prefix rejects prefixes containing image placeholders)."""
     k, lb = prompts.shape
+    if pixel_transform is not None:
+        pixels = pixel_transform(pixels)
 
     def bcast(x):
         if getattr(x, "ndim", 0) >= 3 and x.shape[1] == 1:
@@ -607,6 +616,7 @@ def _spec_lora_chunk_impl(model, draft_model, _frozen, cfg, dcfg, n_slots, max_l
 
 
 def _admit_vlm_lora_impl(model, _frozen, cfg, n_slots, max_len, cache_dtype,
+                         pixel_transform,
                          params, state, prompts, pmasks, pixels, prompt_pos,
                          next_pos0, slots, budgets, adapters):
     """_admit_vlm_impl with per-row multi-LoRA: each image+text request
@@ -616,6 +626,7 @@ def _admit_vlm_lora_impl(model, _frozen, cfg, n_slots, max_len, cache_dtype,
     from llm_quest_tpu.ops.lora import select_adapter
 
     return _admit_vlm_impl(model, _frozen, cfg, n_slots, max_len, cache_dtype,
+                           pixel_transform,
                            select_adapter(params, adapters), state, prompts,
                            pmasks, pixels, prompt_pos, next_pos0, slots, budgets)
 
@@ -993,8 +1004,14 @@ class ContinuousBatchingEngine:
         pipeline_depth="auto", mesh=None, param_rules=None,
         draft_model=None, draft_params=None, draft_cfg=None, gamma=4,
         draft_param_rules=None, prefill_chunk=None, per_request_sampling=False,
-        return_logprobs=False,
+        return_logprobs=False, pixel_transform=None,
     ):
+        # multimodal pixel preprocessing applied ON DEVICE inside the admit
+        # program (e.g. uint8 -> normalized model-dtype): submit() uploads
+        # whatever dtype the caller hands it, so a uint8 feed carries 1/4
+        # the host->device bytes of float32 and the convert/normalize fuses
+        # into the vision encode. Callable (k, ...) pixels -> model pixels.
+        self._pixel_transform = pixel_transform
         self._spec = draft_model is not None
         if self._spec:
             # speculative serving: each scheduler "chunk" is decode_chunk
@@ -1247,11 +1264,13 @@ class ContinuousBatchingEngine:
             p = self.cfg["patch_size"]
             n_vis = (image_shape[-2] // p) * (image_shape[-1] // p) // self.cfg["spatial_merge_size"] ** 2
             pixels = np.zeros(image_shape, image_dtype)
+            pixels_dev = jax.device_put(pixels)
             for lb in self.buckets:
                 for k in [g for g in ks if g <= self.n_slots]:
                     ids = [self.cfg["image_token_id"]] * min(n_vis, lb - 1) + [1]
                     ids = (ids + [1] * lb)[:lb]
-                    reqs = [_Request(-1 - j, np.asarray(ids, np.int32), 1, pixels=pixels)
+                    reqs = [_Request(-1 - j, np.asarray(ids, np.int32), 1, pixels=pixels,
+                                     pixels_dev=pixels_dev)
                             for j in range(k)]
                     self._admit_group_vlm(reqs, list(range(k)))
             scratch = self.state
@@ -1444,9 +1463,15 @@ class ContinuousBatchingEngine:
                 raise ValueError(
                     "min_p is not defined for the speculative modified-distribution scheme"
                 )
+        px = None if pixels is None else np.asarray(pixels)
         req = _Request(
-            rid, ids, max_gen, prefix=prefix,
-            pixels=None if pixels is None else np.asarray(pixels),
+            rid, ids, max_gen, prefix=prefix, pixels=px,
+            # start the host->device pixel transfer NOW (jax transfers are
+            # async): it overlaps the decode chunks running between submit
+            # and this request's admit wave instead of serializing the admit
+            # path — pixel feed was measured as ~85% of the multimodal
+            # serving gap (text-only A/B 2383 vs 404 tok/s, round 5)
+            pixels_dev=None if pixels is None else jax.device_put(px),
             adapter=adapter, sample=sample_row, t_submit=time.monotonic(),
         )
         self._requests[rid] = req
@@ -1636,7 +1661,6 @@ class ContinuousBatchingEngine:
         assert all(r.pixels.shape == pshape for r in reqs), "mixed image shapes in one wave"
         prompt = np.full((k, lb), self.pad_id, np.int32)
         pmask = np.zeros((k, lb), bool)
-        pixels = np.empty((k,) + pshape, reqs[0].pixels.dtype)
         prompt_pos = np.zeros((3, k, lb), np.int32)
         next_pos0 = np.empty((k,), np.int32)
         slot_idx = np.empty((k,), np.int32)
@@ -1646,7 +1670,6 @@ class ContinuousBatchingEngine:
             n = len(r.ids)
             prompt[j, :n] = r.ids
             pmask[j, :n] = True
-            pixels[j] = r.pixels
             feeds = get_feeds_3d_shape(self.cfg, (1,) + pshape)
             # a pure-text prefix shifts every 3-D position by exactly plen
             pos = plen + np.asarray(compute_3d_position_ids(self.cfg, r.ids[None], feeds))
@@ -1658,12 +1681,14 @@ class ContinuousBatchingEngine:
             budgets[j] = r.max_gen
         key = (id(self.model), _freeze(self.cfg), self.n_slots, self.max_len,
                str(self.cache_dtype), self.mesh, "admit_vlm", plen if pid is not None else None,
-               "mlora" if self._lora_n else None)
+               "mlora" if self._lora_n else None,
+               None if self._pixel_transform is None else id(self._pixel_transform))
         if key not in _SERVE_JIT_CACHE:
             if pid is not None:
                 _SERVE_JIT_CACHE[key] = jax.jit(
                     partial(_admit_vlm_prefix_impl, self.model, _freeze(self.cfg), self.cfg,
-                            self.n_slots, self.max_len, self.cache_dtype, plen),
+                            self.n_slots, self.max_len, self.cache_dtype,
+                            self._pixel_transform, plen),
                     donate_argnums=(1,),
                     out_shardings=self._state_shardings,
                 )
@@ -1671,12 +1696,16 @@ class ContinuousBatchingEngine:
                 _SERVE_JIT_CACHE[key] = jax.jit(
                     partial(_admit_vlm_lora_impl if self._lora_n else _admit_vlm_impl,
                             self.model, _freeze(self.cfg), self.cfg,
-                            self.n_slots, self.max_len, self.cache_dtype),
+                            self.n_slots, self.max_len, self.cache_dtype,
+                            self._pixel_transform),
                     donate_argnums=(1,),
                     out_shardings=self._state_shardings,
                 )
+        # stack the already-device-resident per-request images (pow2 pad
+        # repeats the last row's array — same buffer, no re-upload)
+        pixels = jnp.stack([reqs[min(j, len(reqs) - 1)].pixels_dev for j in range(k)])
         args = (self.params, self.state) + (() if pid is None else (pcache,)) + (
-            jnp.asarray(prompt), jnp.asarray(pmask), jnp.asarray(pixels),
+            jnp.asarray(prompt), jnp.asarray(pmask), pixels,
             jnp.asarray(prompt_pos), jnp.asarray(next_pos0),
             jnp.asarray(slot_idx), jnp.asarray(budgets),
         )

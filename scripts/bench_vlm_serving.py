@@ -35,6 +35,10 @@ N_REQ = int(os.environ.get("VS_REQS", "32"))
 N_SLOTS = int(os.environ.get("VS_SLOTS", "16"))
 CHUNK = int(os.environ.get("VS_CHUNK", "16"))
 N_RUNS = int(os.environ.get("VS_RUNS", "3"))
+# A/B: serve the SAME 156-token prompts with NO images through the same
+# engine config — isolates the vision-encode share of the multimodal gap
+# (admit waves, 160-bucket prefill, and scheduling cost are identical)
+TEXT_ONLY = os.environ.get("VS_TEXT_ONLY", "0") == "1"
 
 
 class VLM:
@@ -53,16 +57,20 @@ def main():
         prompt = (rng.integers(1, 1000, size=4).tolist()
                   + [cfg["image_token_id"]] * n_vis
                   + rng.integers(1, 1000, size=8).tolist())  # 156 tokens
-        img = np.asarray(rng.standard_normal((3, 2, 384, 384)), np.float32)
+        # uint8 images + on-device normalize (pixel_transform): the wire
+        # carries 1/4 the float32 bytes — with the async submit-time upload
+        # this is what closes the measured pixel-feed gap (round 5)
+        img = rng.integers(0, 256, size=(3, 2, 384, 384), dtype=np.uint8)
         reqs.append((prompt, int(rng.integers(16, 65)), img))
 
     eng = ContinuousBatchingEngine(
         VLM, params, cfg, n_slots=N_SLOTS, max_len=256, decode_chunk=CHUNK,
         prefill_buckets=(160,), temp=0.0, eos_ids=-1, pad_id=0,
+        pixel_transform=lambda px: (px.astype(jnp.bfloat16) - 127.5) / 58.0,
     )
 
     def serve_all():
-        rids = [eng.submit(p, g, pixels=img) for p, g, img in reqs]
+        rids = [eng.submit(p, g, pixels=None if TEXT_ONLY else img) for p, g, img in reqs]
         while eng.step():
             pass
         return rids
@@ -71,7 +79,7 @@ def main():
     # a bare serve only compiles the wave sizes its own retirement pattern
     # happens to hit, and a later timed run hitting a fresh size pays a
     # mid-flight compile (measured as a 187-467 tok/s spread, round 5)
-    eng.warmup(image_shape=reqs[0][2].shape)
+    eng.warmup(image_shape=None if TEXT_ONLY else reqs[0][2].shape)
     serve_all()  # exercise the live scheduling path once
     rates = []
     for _ in range(N_RUNS):
@@ -87,7 +95,7 @@ def main():
 
     out = {
         "workload": f"{N_REQ} reqs, 156-tok prompt w/ 384px image each, gen U[16,64]",
-        "n_slots": N_SLOTS, "decode_chunk": CHUNK,
+        "n_slots": N_SLOTS, "decode_chunk": CHUNK, "text_only_ab": TEXT_ONLY,
         "useful_tok_s_chip": round(useful, 1),
         "spread_tok_s": [round(min(rates), 1), round(max(rates), 1)],
         "ttft_p50_ms": round(ttfts[len(ttfts) // 2] * 1e3, 1),

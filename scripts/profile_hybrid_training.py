@@ -123,24 +123,15 @@ def main():
 
     t_ga = timed_vg(ga_loss, (ga_blk["att"], x), 4, "GatedAttention sublayer (flash)", N_GA)
 
-    from llm_quest_tpu.ops.moe import moe_apply  # noqa: F401  (presence check)
-
-    def ffn_loss(blk, x):
-        out, _ = qwen3_next.apply_ffn(blk, CFG, x) if hasattr(qwen3_next, "apply_ffn") else (None, None)
-        return jnp.sum(out.astype(jnp.float32) ** 2) * 1e-6
-
-    # the block FFN is MoE — time it through the block's ffn params directly
     from llm_quest_tpu.ops import moe as moe_ops
 
     def moe_loss(blk, x):
-        out, aux = moe_ops.qwen3_moe(blk, CFG, x)
+        out, aux = moe_ops.qwen3_moe(
+            blk, x, top_k=CFG["top_k"], load_coeff=CFG["aux_loss_coef"], training=True
+        )
         return jnp.sum(out.astype(jnp.float32) ** 2) * 1e-6 + aux["moe_loss"]
 
-    try:
-        t_moe = timed_vg(moe_loss, (gdn_blk["ffn"], x), 4, "MoE FFN sublayer", N_LAYERS)
-    except Exception as e:
-        print(f"  MoE timing needs adapting: {e}", flush=True)
-        t_moe = 0.0
+    t_moe = timed_vg(moe_loss, (gdn_blk["moe"], x), 4, "MoE FFN sublayer", N_LAYERS)
 
     # head + fused CE
     from llm_quest_tpu.ops.losses import cross_entropy_fused_head

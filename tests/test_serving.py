@@ -1459,3 +1459,36 @@ def test_serving_speculative_per_request_sampling(params):
 
     with pytest.raises(ValueError, match="min_p"):
         engine.submit(prompts[0], 4, temp=0.5, min_p=0.1)
+
+
+def test_serving_multimodal_uint8_pixel_transform():
+    """uint8 pixel feed + on-device pixel_transform == serving float pixels
+    pre-transformed on the host (the wire carries 1/4 the bytes; numerics
+    are identical because the transform runs before the encode either way)."""
+    from llm_quest_tpu.models import qwen3_5
+
+    class VLM:
+        apply = staticmethod(qwen3_5.apply)
+        init_cache = staticmethod(qwen3_5.init_cache)
+
+    params = qwen3_5.init(jax.random.PRNGKey(0), VLM_CFG)
+    n_vis = (64 // 16) ** 2 // 2 ** 2
+    rng = np.random.default_rng(3)
+    prompt = ([5, 6] + [VLM_CFG["image_token_id"]] * n_vis + [7])
+    img_u8 = rng.integers(0, 256, size=(3, 2, 64, 64), dtype=np.uint8)
+    transform = lambda px: (px.astype(jnp.float32) - 127.5) / 58.0
+
+    def serve(pixels, pixel_transform):
+        eng = ContinuousBatchingEngine(
+            VLM, params, VLM_CFG, n_slots=2, max_len=48, decode_chunk=4,
+            prefill_buckets=(16,), temp=0.0, eos_ids=-1, pad_id=0,
+            pixel_transform=pixel_transform,
+        )
+        rid = eng.submit(prompt, 6, pixels=pixels)
+        while eng.step():
+            pass
+        return eng._requests[rid].tokens
+
+    got = serve(img_u8, transform)
+    ref = serve(np.asarray(transform(jnp.asarray(img_u8))), None)
+    assert got == ref, (got, ref)
