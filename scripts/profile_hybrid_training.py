@@ -42,6 +42,27 @@ N_GDN = len(qwen3_next.gdn_layer_indices(CFG))
 N_GA = N_LAYERS - N_GDN
 
 
+_NULL = None
+
+
+def _null_rtt():
+    """One float() readback costs ~35 ms over the tunnel — subtract it or
+    every sub-10 ms stage reads as RTT/reps (the first-pass numbers did)."""
+    global _NULL
+    if _NULL is None:
+        z = jnp.zeros((), jnp.float32)
+        f = jax.jit(lambda x: x + 1)
+        float(f(z))
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            float(f(z))
+            ts.append(time.perf_counter() - t0)
+        import statistics
+        _NULL = statistics.median(ts)
+    return _NULL
+
+
 def timed_vg(fn, args, reps, label, per_layer_mult=1):
     vg = jax.jit(jax.value_and_grad(fn))
     loss, _ = vg(*args)
@@ -50,7 +71,7 @@ def timed_vg(fn, args, reps, label, per_layer_mult=1):
     for _ in range(reps):
         loss, _ = vg(*args)
     float(loss)
-    dt = (time.perf_counter() - t0) / reps
+    dt = max(time.perf_counter() - t0 - _null_rtt(), 1e-9) / reps
     total = dt * per_layer_mult
     print(f"  {label:<34} {dt * 1e3:8.2f} ms fwd+bwd"
           + (f"  x{per_layer_mult} layers = {total * 1e3:7.1f} ms" if per_layer_mult > 1 else ""),
@@ -69,15 +90,71 @@ def main():
 
     mask = causal_mask(S, S, q_start=0, attn_mask=None)
     pos = jnp.broadcast_to(jnp.arange(S)[None], (B, S))
-
-    # ---- full train step (the graded config) ----
-    optimizer = make_optimizer(3e-4)
-    opt_state = optimizer.init(params)
-    step = make_train_step(qwen3_next, CFG, optimizer, fused_head_ce=True)
     ids = jnp.asarray(np.random.default_rng(0).integers(0, 32_000, (B, S)), jnp.int32)
     batch = {"input_ids": ids, "targets": jnp.roll(ids, -1, 1)}
+
+    # ---- stages (fwd+bwd each, at model shapes) ----
+    print("stages:", flush=True)
+
+    def gdn_loss(blk, x):
+        out, _ = qwen3_next.gated_delta_net(blk, CFG, x, None, None)
+        return jnp.sum(out.astype(jnp.float32) ** 2) * 1e-6
+
+    t_gdn = timed_vg(gdn_loss, (gdn_blk["att"], x), 16, "GDN sublayer (kernel fwd+bwd)", N_GDN)
+
+    cfg_x = dict(CFG, use_gdn_kernel=False)
+
+    def gdn_loss_xla(blk, x):
+        out, _ = qwen3_next.gated_delta_net(blk, cfg_x, x, None, None)
+        return jnp.sum(out.astype(jnp.float32) ** 2) * 1e-6
+
+    timed_vg(gdn_loss_xla, (gdn_blk["att"], x), 16, "GDN sublayer (chunked XLA)", N_GDN)
+
+    # conv-only share of the GDN sublayer
+    from llm_quest_tpu.ops import gdn as gdn_ops
+
+    def conv_loss(cp, xc):
+        return jnp.sum(gdn_ops.causal_conv1d(cp, xc).astype(jnp.float32) ** 2) * 1e-6
+
+    d_qk = CFG["linear_num_qk_heads"] * CFG["linear_qk_head_dim"]
+    xc = jax.random.normal(jax.random.PRNGKey(2), (B, S, d_qk), jnp.bfloat16)
+    t_conv = timed_vg(conv_loss, (gdn_blk["att"]["conv_q"], xc), 48,
+                      "one depthwise conv (of 3/GDN layer)", 3 * N_GDN)
+
+    def ga_loss(blk, x):
+        out = qwen3_next.gated_attention(blk, CFG, x, mask, cos, sin, pos, None)
+        return jnp.sum(out.astype(jnp.float32) ** 2) * 1e-6
+
+    t_ga = timed_vg(ga_loss, (ga_blk["att"], x), 16, "GatedAttention sublayer (flash)", N_GA)
+
+    from llm_quest_tpu.ops import moe as moe_ops
+
+    def moe_loss(blk, x):
+        out, aux = moe_ops.qwen3_moe(
+            blk, x, top_k=CFG["top_k"], load_coeff=CFG["aux_loss_coef"], training=True
+        )
+        return jnp.sum(out.astype(jnp.float32) ** 2) * 1e-6 + aux["moe_loss"]
+
+    t_moe = timed_vg(moe_loss, (gdn_blk["moe"], x), 16, "MoE FFN sublayer", N_LAYERS)
+
+    # head + fused CE
+    from llm_quest_tpu.ops.losses import cross_entropy_fused_head
+
+    def head_loss(p, h):
+        return cross_entropy_fused_head(h, qwen3_next.head_weights(p, CFG), batch["targets"])
+
+    t_head = timed_vg(head_loss, (params, x), 8, "fused-head CE")
+
+    # ---- full train step (the graded config) ----
+    del gdn_blk, ga_blk, params, xc  # free stage buffers: the step needs ~8 GB
+    optimizer = make_optimizer(3e-4)
+    step = make_train_step(qwen3_next, CFG, optimizer, fused_head_ce=True)
     rng = jax.random.PRNGKey(1)
-    p2, o2, loss = step(params, opt_state, batch, rng)
+    # the train step DONATES its params — re-init an identical tree per
+    # timed run (a device copy + Adam moments OOMs HBM at this scale)
+    p2 = qwen3_next.init(jax.random.PRNGKey(0), CFG)
+    o2 = optimizer.init(p2)
+    p2, o2, loss = step(p2, o2, batch, rng)
     float(loss)
     t0 = time.perf_counter()
     for _ in range(8):
@@ -89,58 +166,6 @@ def main():
           f"MFU {F.mfu(toks, F.text_train_flops_per_token(CFG, seq_len=S)):.1%}", flush=True)
     del p2, o2
 
-    # ---- stages (fwd+bwd each, at model shapes) ----
-    print("stages:", flush=True)
-
-    def gdn_loss(blk, x):
-        out, _ = qwen3_next.gated_delta_net(blk, CFG, x, None, None)
-        return jnp.sum(out.astype(jnp.float32) ** 2) * 1e-6
-
-    t_gdn = timed_vg(gdn_loss, (gdn_blk["att"], x), 4, "GDN sublayer (kernel fwd+bwd)", N_GDN)
-
-    cfg_x = dict(CFG, use_gdn_kernel=False)
-
-    def gdn_loss_xla(blk, x):
-        out, _ = qwen3_next.gated_delta_net(blk, cfg_x, x, None, None)
-        return jnp.sum(out.astype(jnp.float32) ** 2) * 1e-6
-
-    timed_vg(gdn_loss_xla, (gdn_blk["att"], x), 4, "GDN sublayer (chunked XLA)", N_GDN)
-
-    # conv-only share of the GDN sublayer
-    from llm_quest_tpu.ops import gdn as gdn_ops
-
-    def conv_loss(cp, xc):
-        return jnp.sum(gdn_ops.causal_conv1d(cp, xc).astype(jnp.float32) ** 2) * 1e-6
-
-    d_qk = CFG["linear_num_qk_heads"] * CFG["linear_qk_head_dim"]
-    xc = jax.random.normal(jax.random.PRNGKey(2), (B, S, d_qk), jnp.bfloat16)
-    t_conv = timed_vg(conv_loss, (gdn_blk["att"]["conv_q"], xc), 8,
-                      "one depthwise conv (of 3/GDN layer)", 3 * N_GDN)
-
-    def ga_loss(blk, x):
-        out = qwen3_next.gated_attention(blk, CFG, x, mask, cos, sin, pos, None)
-        return jnp.sum(out.astype(jnp.float32) ** 2) * 1e-6
-
-    t_ga = timed_vg(ga_loss, (ga_blk["att"], x), 4, "GatedAttention sublayer (flash)", N_GA)
-
-    from llm_quest_tpu.ops import moe as moe_ops
-
-    def moe_loss(blk, x):
-        out, aux = moe_ops.qwen3_moe(
-            blk, x, top_k=CFG["top_k"], load_coeff=CFG["aux_loss_coef"], training=True
-        )
-        return jnp.sum(out.astype(jnp.float32) ** 2) * 1e-6 + aux["moe_loss"]
-
-    t_moe = timed_vg(moe_loss, (gdn_blk["moe"], x), 4, "MoE FFN sublayer", N_LAYERS)
-
-    # head + fused CE
-    from llm_quest_tpu.ops.losses import cross_entropy_fused_head
-
-    def head_loss(p, h):
-        return cross_entropy_fused_head(h, qwen3_next.head_weights(p, CFG), batch["targets"])
-
-    t_head = timed_vg(head_loss, (params, x), 4, "fused-head CE")
-
     known = t_gdn + t_ga + t_moe + t_head
     print(f"sum(stages) {known * 1e3:.1f} ms vs full {full * 1e3:.1f} ms  "
           f"(residual {100 * (full - known) / full:.0f}% = norms/residuals/optimizer/emb)", flush=True)
@@ -149,10 +174,11 @@ def main():
     print("gdn_kernel_chunk_size sweep (full train step):", flush=True)
     for kc in (64, 128, 256):
         cfg_k = dict(CFG, gdn_kernel_chunk_size=kc)
-        opt_state_k = optimizer.init(params)
         step_k = make_train_step(qwen3_next, cfg_k, optimizer, fused_head_ce=True)
         try:
-            pk, ok, loss = step_k(params, opt_state_k, batch, rng)
+            pk = qwen3_next.init(jax.random.PRNGKey(0), CFG)
+            ok = optimizer.init(pk)
+            pk, ok, loss = step_k(pk, ok, batch, rng)
             float(loss)
             t0 = time.perf_counter()
             for _ in range(6):
