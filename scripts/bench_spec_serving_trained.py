@@ -74,7 +74,11 @@ def sample_chain(rng, succ, alts, b, s):
     return x
 
 
-def train(cfg, params, succ, alts, steps, b=8, s=128, label=""):
+def train(cfg, params, succ, alts, steps, b=4, s=129, label=""):
+    # s=129 -> 128 input tokens: the chunked GDN kernel path (s >= 2 chunks)
+    # with its chunk-state backward; one token fewer routes the GDN layers
+    # to the lax.scan recurrence, whose backward saves EVERY per-step fp32
+    # state (18 layers x 127 x (b,16,128,128) ~ 56 GB -> compile OOM)
     rng = np.random.default_rng(hash(label) % 2**31)
     optimizer = make_optimizer(3e-4)
     opt_state = optimizer.init(params)
@@ -141,7 +145,7 @@ def main():
     params, target_loss = train(cfg, params, succ, alts, TRAIN_STEPS, label="target")
     draft_params = qwen3_5.init_text(jax.random.PRNGKey(1), draft_cfg)
     draft_params, draft_loss = train(draft_cfg, draft_params, succ, alts, TRAIN_STEPS,
-                                     b=16, label="draft")
+                                     b=8, label="draft")
 
     alpha = greedy_agreement(cfg, params, draft_cfg, draft_params, succ, alts)
     print(f"offline draft/target greedy agreement (alpha proxy): {alpha:.3f}", flush=True)
