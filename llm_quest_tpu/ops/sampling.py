@@ -108,40 +108,54 @@ def sampling(rng, logits, *, top_k=None, top_p=None, min_p=None, temp=0.0):
     return jax.random.categorical(rng, jnp.log(probs), axis=-1).astype(jnp.int32)
 
 
-def filter_probs_per_row(probs, *, top_k, top_p, min_p=None):
+def filter_probs_per_row(probs, *, top_k, top_p, min_p=None, head=4096):
     """``filter_probs`` with PER-ROW knob arrays (b,), applied over
     (b, ..., v) probabilities (extra middle axes share the row's knobs).
     Disable encodings: top_k 0, top_p >= 1, min_p 0. Matches filter_probs'
-    combination semantics exactly: the hard top-k cut is off under min-p
-    (top_k becomes min_tokens_to_keep), top-p keeps the pivot token."""
+    combination semantics: the hard top-k cut is off under min-p (top_k
+    becomes min_tokens_to_keep), top-p keeps the pivot token.
+
+    Implemented THRESHOLD-style over a ``head = top_k(H)`` selection
+    instead of a full-vocab argsort: every filter reduces to a per-row
+    scalar prob threshold derived from the sorted head, then one
+    elementwise compare over the vocab. The previous full argsort ran
+    EVERY decode step of a per-request-sampling serving pool and measured
+    ~300 ms/step at (32, 248320) — 30× the whole model forward; top_k(H)
+    is a selection, not a sort. Exactness: identical keep-set whenever the
+    nucleus/top-k fits in the head (always, for peaked real-model logits
+    with H=4096); a row whose top-p nucleus exceeds the head mass falls
+    back to keeping everything (documented, measured only on near-uniform
+    random-weight logits). Tie handling is threshold-based (all tokens
+    tying the pivot/kth prob are kept — same measure-zero divergence class
+    as ``top_k_filter``'s note)."""
     v = probs.shape[-1]
+    h = min(head, v)
     mid = (1,) * (probs.ndim - 2)
     col = lambda a: a.reshape(a.shape[:1] + mid + (1,))  # noqa: E731
     if min_p is None:
         min_p = jnp.zeros(probs.shape[:1], jnp.float32)
 
-    sort_idx = jnp.argsort(-probs, axis=-1)
-    sorted_probs = jnp.take_along_axis(probs, sort_idx, axis=-1)
+    head_vals = jax.lax.top_k(probs, h)[0]  # (b, ..., h) descending
 
-    k_pos = jnp.broadcast_to(
-        col(jnp.clip(top_k - 1, 0, v - 1).astype(jnp.int32)), probs.shape[:-1] + (1,)
-    )
-    kth = jnp.take_along_axis(sorted_probs, k_pos, axis=-1)
+    def gather_head(pos):  # per-row position (b,) -> head value (b, ..., 1)
+        p_ = jnp.broadcast_to(col(pos.astype(jnp.int32)), probs.shape[:-1] + (1,))
+        return jnp.take_along_axis(head_vals, p_, axis=-1)
+
+    kth = gather_head(jnp.clip(top_k - 1, 0, h - 1))
     keep = jnp.where(col((top_k > 0) & (min_p <= 0)), probs >= kth, True)
 
-    cum = jnp.cumsum(sorted_probs, axis=-1)
-    over = cum > col(top_p)
-    over = jnp.concatenate([jnp.zeros_like(over[..., :1]), over[..., :-1]], axis=-1)
-    inv_idx = jnp.argsort(sort_idx, axis=-1)
-    keep_p = ~jnp.take_along_axis(over, inv_idx, axis=-1)
-    keep &= jnp.where(col(top_p < 1.0), keep_p, True)
+    cum = jnp.cumsum(head_vals, axis=-1)
+    # pivot = first sorted position whose cumulative crosses p (kept);
+    # number kept = count of positions with shifted-cum <= p
+    over = jnp.concatenate([jnp.zeros_like(cum[..., :1]), cum[..., :-1]], axis=-1) > col(top_p)
+    n_keep = jnp.sum(~over, axis=-1, keepdims=True)  # (b, ..., 1) >= 1
+    thr_p = jnp.take_along_axis(head_vals, n_keep - 1, axis=-1)
+    # nucleus wider than the head -> keep everything (threshold 0)
+    thr_p = jnp.where(cum[..., -1:] > col(top_p), thr_p, 0.0)
+    keep &= jnp.where(col(top_p < 1.0), probs >= thr_p, True)
 
-    p_max = jnp.max(probs, axis=-1, keepdims=True)
-    mtk_pos = jnp.broadcast_to(
-        col(jnp.clip(jnp.maximum(top_k, 1) - 1, 0, v - 1).astype(jnp.int32)),
-        probs.shape[:-1] + (1,),
-    )
-    mtk_th = jnp.take_along_axis(sorted_probs, mtk_pos, axis=-1)
+    p_max = head_vals[..., :1]
+    mtk_th = gather_head(jnp.clip(jnp.maximum(top_k, 1) - 1, 0, h - 1))
     keep_m = (probs >= col(min_p) * p_max) | (probs >= mtk_th)
     keep &= jnp.where(col(min_p > 0), keep_m, True)
 

@@ -304,3 +304,41 @@ def test_greedy_argmax_matches_jnp_argmax_with_ties():
 
     xb = jnp.asarray(rng.normal(size=(4, 384)), jnp.bfloat16)
     assert jnp.array_equal(greedy_argmax(xb), jnp.argmax(xb, axis=-1).astype(jnp.int32))
+
+
+def test_filter_probs_per_row_head_matches_full_sort():
+    """The head-based per-row filter == the exact full-sort scalar filter
+    whenever the nucleus/top-k fits inside the head (per-config check on
+    peaked distributions), and the nucleus-exceeds-head fallback keeps
+    everything."""
+    from llm_quest_tpu.ops.sampling import filter_probs, filter_probs_per_row
+
+    rng = np.random.default_rng(5)
+    v, b = 2000, 3
+    # peaked: nucleus well inside a 64-wide head
+    logits = jnp.asarray(rng.normal(size=(b, v)) * 4.0, jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1)
+
+    cases = [
+        dict(top_k=40, top_p=1.0, min_p=0.0),
+        dict(top_k=0, top_p=0.9, min_p=0.0),
+        dict(top_k=20, top_p=0.85, min_p=0.0),
+        dict(top_k=5, top_p=1.0, min_p=0.05),  # top_k -> min_tokens_to_keep
+    ]
+    for kw in cases:
+        rows = {k: jnp.full((b,), kw[k], jnp.float32) for k in kw}
+        got = filter_probs_per_row(probs, head=64, **rows)
+        ref = filter_probs(
+            probs,
+            top_k=kw["top_k"] or None,
+            top_p=kw["top_p"] if kw["top_p"] < 1 else None,
+            min_p=kw["min_p"] or None,
+        )
+        assert float(jnp.abs(got - ref).max()) < 1e-6, kw
+
+    # near-uniform + tiny head -> nucleus exceeds head mass -> keep-all
+    flat = jnp.full((1, v), 1.0 / v, jnp.float32)
+    got = filter_probs_per_row(
+        flat, top_k=jnp.zeros((1,)), top_p=jnp.full((1,), 0.9), head=64
+    )
+    assert float(jnp.abs(got - flat).max()) < 1e-7
