@@ -390,7 +390,8 @@ def apply(
                 residual = h
                 hn = zero_centered_rms_norm(block["norm2"], h)
                 ffn_out, moe_aux = moe_ops.qwen3_moe(
-                    block["moe"], hn, top_k=cfg["top_k"], load_coeff=cfg["aux_loss_coef"], training=training
+                    block["moe"], hn, top_k=cfg["top_k"], load_coeff=cfg["aux_loss_coef"], training=training,
+                    capacity_factor=cfg.get("moe_capacity_factor") if training else None,
                 )
                 return residual + ffn_out, moe_aux
 
@@ -459,7 +460,8 @@ def apply(
         residual = h
         hn = zero_centered_rms_norm(block["norm2"], h)
         ffn_out, moe_aux = moe_ops.qwen3_moe(
-            block["moe"], hn, top_k=cfg["top_k"], load_coeff=cfg["aux_loss_coef"], training=training
+            block["moe"], hn, top_k=cfg["top_k"], load_coeff=cfg["aux_loss_coef"], training=training,
+            capacity_factor=cfg.get("moe_capacity_factor") if training else None,
         )
         h = residual + ffn_out
         aux["gate_probas"].append(moe_aux["gate_probas"])

@@ -157,12 +157,26 @@ def _expert_mlp_ragged(experts, x_sorted, group_sizes, expert_of_row, activation
     return out
 
 
-def dispatch(experts, x2d, topk_idxs, topk_weights, num_experts, *, activation=silu, d_out=None):
+def dispatch(experts, x2d, topk_idxs, topk_weights, num_experts, *, activation=silu, d_out=None,
+             capacity_factor=None):
     """Sort-based MoE dispatch.
 
     x2d: (T, d); topk_idxs/topk_weights: (T, k).
     Returns (T, d_out): Σ over each token's k experts of weight·expert(x).
-    """
+
+    ``capacity_factor=None`` (default): exact ragged_dot dispatch — every
+    assignment computed, reference semantics. A float enables GShard/Switch
+    **capacity dispatch**: each expert processes at most
+    C = ceil(capacity_factor · T·k / E) rows padded into a dense
+    (E, C, d) batch and the expert MLP runs as batched dense matmuls —
+    measured 2.3× ragged_dot's fwd+bwd at identical FLOPs on v5e (ragged's
+    backward runs ~86 vs bmm's ~200 TF/s effective; so even 1.5× padded
+    MACs win ~1.5× wall-clock on the training step's dominant stage).
+    Assignments beyond an expert's capacity are DROPPED (last in stable
+    token order — the standard capacity-routing semantics; the
+    load-balance loss keeps overflow rare, and capacity_factor ≥ E/k·
+    max-imbalance reproduces the exact result). Inference/decode keeps the
+    exact ragged path."""
     t, k = topk_idxs.shape
     lin2 = experts.get("lin2", experts.get("lin2_q"))
     d_out = d_out if d_out is not None else lin2.shape[-1]
@@ -171,16 +185,55 @@ def dispatch(experts, x2d, topk_idxs, topk_weights, num_experts, *, activation=s
     token_of = jnp.repeat(jnp.arange(t), k)
 
     order = jnp.argsort(flat_expert, stable=True)
-    x_sorted = x2d[token_of[order]]  # (T·k, d)
     expert_sorted = flat_expert[order]
     group_sizes = jnp.sum(
         jax.nn.one_hot(flat_expert, num_experts, dtype=jnp.int32), axis=0
     )  # (E,)
 
+    if capacity_factor is not None and "lin1" not in experts:
+        capacity_factor = None  # int8-quantized stacks: keep the ragged-qGMM path
+    if capacity_factor is not None:
+        cap = -(-int(capacity_factor * t * k) // num_experts)  # static per shape
+        cap = min(-(-cap // 8) * 8, t * k)  # sublane-align, never exceed T·k
+        starts = jnp.cumsum(group_sizes) - group_sizes  # (E,)
+        rank = jnp.arange(t * k) - starts[expert_sorted]  # position within group
+        keep = rank < cap
+        # slot in the (E·C [+1 trash]) padded buffer; dropped rows -> trash
+        dest = jnp.where(keep, expert_sorted * cap + jnp.minimum(rank, cap - 1), num_experts * cap)
+        x_sorted = x2d[token_of[order]]
+        xe = (
+            jnp.zeros((num_experts * cap + 1, x2d.shape[1]), x2d.dtype)
+            .at[dest].set(x_sorted)[: num_experts * cap]
+            .reshape(num_experts, cap, x2d.shape[1])
+        )
+        he = _expert_mlp_dense(experts, xe, activation)  # (E, C, d_out)
+        out_rows = he.reshape(num_experts * cap, d_out)[jnp.minimum(dest, num_experts * cap - 1)]
+        out_rows = out_rows * (flat_weight[order] * keep)[:, None].astype(he.dtype)
+        return jnp.zeros((t, d_out), he.dtype).at[token_of[order]].add(out_rows)
+
+    x_sorted = x2d[token_of[order]]  # (T·k, d)
     out_sorted = _expert_mlp_ragged(experts, x_sorted, group_sizes, expert_sorted, activation)
     out_sorted = out_sorted * flat_weight[order][:, None].astype(out_sorted.dtype)
 
     out = jnp.zeros((t, d_out), out_sorted.dtype).at[token_of[order]].add(out_sorted)
+    return out
+
+
+def _expert_mlp_dense(experts, xe, activation):
+    """Expert MLP over a DENSE (E, C, d) capacity batch: plain batched
+    matmuls against the (E, d, f) stacks — the capacity-dispatch compute."""
+    bmm = lambda a, w: jnp.einsum("ecd,edf->ecf", a, w.astype(a.dtype))
+    lin1 = experts.get("lin1", experts.get("lin1_q"))
+    h = bmm(xe, lin1)
+    if "b1" in experts:
+        h = h + experts["b1"][:, None, :]
+    if "gate" in experts or "gate_q" in experts:
+        h = h * activation(bmm(xe, experts.get("gate", experts.get("gate_q"))))
+    else:
+        h = activation(h)
+    out = bmm(h, experts.get("lin2", experts.get("lin2_q")))
+    if "b2" in experts:
+        out = out + experts["b2"][:, None, :]
     return out
 
 
@@ -329,9 +382,12 @@ def init_qwen3_moe(key, cfg, *, dtype=jnp.float32):
     return params
 
 
-def qwen3_moe(params, x, *, top_k, load_coeff, gate_probas=None, training=True):
+def qwen3_moe(params, x, *, top_k, load_coeff, gate_probas=None, training=True,
+              capacity_factor=None):
     """Returns (out, aux); aux has "moe_loss" (training) and "gate_probas"
-    for RL routing replay (reference: qwen3_moe.py:105-167)."""
+    for RL routing replay (reference: qwen3_moe.py:105-167).
+    ``capacity_factor``: see ``dispatch`` — dense capacity routing for the
+    training step (models thread ``cfg["moe_capacity_factor"]``)."""
     b, s, d = x.shape
     lin1 = params["experts"].get("lin1", params["experts"].get("lin1_q"))
     num_experts = lin1.shape[0]
@@ -350,7 +406,8 @@ def qwen3_moe(params, x, *, top_k, load_coeff, gate_probas=None, training=True):
     if training:
         aux["moe_loss"] = load_coeff * load_balance_loss(gate_probas, topk_idxs, num_experts, top_k)
 
-    out = dispatch(params["experts"], x2d, topk_idxs, topk_probas, num_experts, activation=silu)
+    out = dispatch(params["experts"], x2d, topk_idxs, topk_probas, num_experts,
+                   activation=silu, capacity_factor=capacity_factor)
 
     if "shared" in params:
         shared_out = _shared_experts_sum(params["shared"], x2d)

@@ -66,7 +66,13 @@ def main():
     )
     t_kernel = bench(dict(base, use_gdn_kernel=True), "GDN kernel (chunk-remat backward)")
     t_xla = bench(dict(base, use_gdn_kernel=False), "chunked XLA GDN")
+    # round-5: GShard/Switch capacity dispatch for the MoE stage (44% of the
+    # step; ragged_dot's fwd+bwd runs ~86 TF/s vs dense bmm's ~200 on v5e, so
+    # 1.25x-padded dense batches win big). Exact-parity knob: None.
+    t_cap = bench(dict(base, use_gdn_kernel=True, moe_capacity_factor=1.25),
+                  "+ MoE capacity dispatch (cf=1.25)")
     print(f"\nkernel vs XLA train step: {t_kernel/t_xla:.3f}x   "
+          f"capacity-dispatch speedup: {t_cap/t_kernel:.3f}x   "
           f"(round-2 record with vjp-recompute backward: 19,434 tok/s)", flush=True)
 
 

@@ -137,3 +137,54 @@ def test_load_balance_loss_uniform_is_one():
     idxs = (np.arange(t) % e).reshape(t, 1)
     lbl = moe.load_balance_loss(probas, jnp.asarray(idxs), e, k)
     assert abs(float(lbl) - 1.0) < 1e-5
+
+
+def test_capacity_dispatch_matches_ragged_when_capacity_suffices():
+    """Capacity dispatch (dense bmm over padded (E, C) groups) == the exact
+    ragged dispatch whenever no expert overflows its capacity; with a
+    forced-overflow capacity the dropped assignments are exactly the
+    last-ranked ones and everything kept is identical."""
+    from llm_quest_tpu.ops import moe as moe_ops
+
+    rng = jax.random.PRNGKey(0)
+    E, t, k, d, f = 4, 64, 2, 16, 32
+    experts = moe_ops.init_expert_stack(rng, E, d, f, gated=True, dtype=jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(1), (t, d), jnp.float32)
+    gate = jax.nn.softmax(jax.random.normal(jax.random.PRNGKey(2), (t, E)), axis=-1)
+    topk_w, topk_i = jax.lax.top_k(gate, k)
+    topk_w = topk_w / jnp.sum(topk_w, axis=-1, keepdims=True)
+
+    ref = moe_ops.dispatch(experts, x, topk_i, topk_w, E)
+    # capacity_factor = E covers even the all-to-one-expert worst case
+    got = moe_ops.dispatch(experts, x, topk_i, topk_w, E, capacity_factor=float(E))
+    assert float(jnp.abs(got - ref).max()) < 1e-5
+
+    # forced overflow: capacity 8 < the biggest group; kept contributions
+    # must match a manual mask of the last-ranked assignments
+    import numpy as np
+
+    got_of = moe_ops.dispatch(experts, x, topk_i, topk_w, E, capacity_factor=8 * E / (t * k))
+    flat_e = np.asarray(topk_i).reshape(-1)
+    order = np.argsort(flat_e, kind="stable")
+    rank = np.zeros(t * k, np.int32)
+    counts = {}
+    for pos in order:
+        e = flat_e[pos]
+        rank[pos] = counts.get(e, 0)
+        counts[e] = rank[pos] + 1
+    keep = rank < 8
+    w_masked = jnp.asarray(np.asarray(topk_w).reshape(-1) * keep).reshape(t, k)
+    ref_of = moe_ops.dispatch(experts, x, topk_i, w_masked, E)
+    assert float(jnp.abs(got_of - ref_of).max()) < 1e-5
+
+
+def test_qwen3_moe_capacity_factor_threads_through():
+    from llm_quest_tpu.ops import moe as moe_ops
+
+    cfg = {"emb_dim": 16, "moe_hidden_dim": 32, "num_experts": 4, "top_k": 2,
+           "shared_expert_hidden_dim": 32, "re_init_router_weights": False}
+    params = moe_ops.init_qwen3_moe(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 16), jnp.float32)
+    out_ref, _ = moe_ops.qwen3_moe(params, x, top_k=2, load_coeff=0.01)
+    out_cap, _ = moe_ops.qwen3_moe(params, x, top_k=2, load_coeff=0.01, capacity_factor=4.0)
+    assert float(jnp.abs(out_cap - out_ref).max()) < 1e-5
