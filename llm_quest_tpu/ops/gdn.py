@@ -160,6 +160,13 @@ def gated_delta_rule_auto(
     matmuls and half the sequential grid steps — 2.21 vs 2.62 ms at c=64 on
     v5e at gb=16, measured fitting VMEM) so a model's gdn_chunk_size doesn't
     silently change the kernel's calibrated tiling, and vice versa.
+
+    Short sequences (round 5): anything s ≥ 2 takes the CHUNKED form with a
+    single chunk c = s rather than the scan — the scan reads+writes the
+    full fp32 state per TOKEN (a 32-token serving admit at 32 slots moves
+    18 layers × 32 × 604 MB ≈ 190 ms of pure state traffic; the
+    single-chunk parallel form touches the state once). The scan remains
+    the s=1 path and the correctness oracle.
     """
     s = q.shape[2]
     if s >= 2 * min(chunk_size, s):
@@ -170,6 +177,8 @@ def gated_delta_rule_auto(
                 prev_state = jnp.zeros((*v.shape[:2], v.shape[-1], k.shape[-1]), jnp.float32)
             return gated_delta_rule_pallas(q, k, v, beta, alpha, prev_state, kernel_chunk_size)
         return gated_delta_rule_chunked(q, k, v, beta, alpha, prev_state=prev_state, chunk_size=chunk_size)
+    if s >= 2:
+        return gated_delta_rule_chunked(q, k, v, beta, alpha, prev_state=prev_state, chunk_size=min(chunk_size, s))
     return gated_delta_rule(q, k, v, beta, alpha, prev_state=prev_state)
 
 
