@@ -10,7 +10,9 @@ own multimodal decode path (Qwen3_5VLM + generate_loop via vlm_arg_wrapper,
 qwen3_5_generate_multimodal.py:107-123 — uncached, re-encodes the image
 every step) measures 0.116 tok/s fp32 on this host's CPU → bar = 0.232.
 
-Methodology (round 4):
+Methodology (round 5 adds): decode_mbu at b=32/128, serving_mbu, the
+int8-weights+embeddings serving config, and a heterogeneous serving bench
+(mixed prompt lengths + per-request sampling). Round 4:
 - every decode metric is the MEDIAN of N timed runs with min/max spread
   reported (single-run timings over the ~35 ms-RTT tunnel swing ±7%);
 - the serving bench calls engine.warmup() so program compiles never land
@@ -181,7 +183,9 @@ def bench_serving(n_reqs=48, n_slots=32, decode_chunk=64, n_runs=3, int8=False):
     chunk64 2187 · 64-slot single-wave chunk64 2463 tok/s. chunk=64 wins
     because b=32 decode is bandwidth-bound — idle rows are nearly free
     while scheduler round-trips are not; 64 slots removes oversubscription
-    (no slot reuse), so the graded config keeps 32."""
+    (no slot reuse), so the graded config keeps 32. Round 5 lifts the same
+    config to ~3020-3070 (stacked GDN step kernel + single-chunk admit
+    prefills + full-chunk auto-depth timing)."""
     import numpy as np_
 
     from llm_quest_tpu import config
