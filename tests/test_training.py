@@ -134,6 +134,7 @@ def test_fused_head_ce_train_step_matches_plain(model_name):
     gpt2 covers the untied bias-free head (head_weights returns out.w);
     qwen3 covers the tied-embedding head."""
     import jax
+    import jax
     import jax.numpy as jnp
     import optax
 
@@ -175,6 +176,7 @@ def test_training_loop_async_checkpoints(tmp_path):
 
     from llm_quest_tpu.training.checkpointing import load_checkpoint
 
+    import jax
     import jax
     import jax.numpy as jnp
 
@@ -222,3 +224,41 @@ def test_training_loop_scheduled_profiler(tmp_path):
             eval_iter=1, profiler=p,
         )
     assert glob.glob(str(tmp_path / "cycle_0" / "**" / "*.xplane.pb"), recursive=True)
+
+
+def test_qwen3_next_train_step_capacity_dispatch_matches_exact():
+    import jax
+    import jax.numpy as jnp
+    """cfg["moe_capacity_factor"] threads into the hybrid train step; with
+    capacity >= worst case the loss equals the exact ragged dispatch, and
+    inference (cache decode) always keeps the exact path regardless."""
+    import numpy as np
+
+    from llm_quest_tpu import config as cfg_mod
+    from llm_quest_tpu.models import qwen3_next
+    from llm_quest_tpu.training.engine import make_optimizer, make_train_step
+
+    base = dict(
+        cfg_mod.QWEN3_NEXT_SMALL_CONFIG,
+        n_layers=4, emb_dim=64, head_dim=16, n_heads=4, num_kv_groups=2,
+        linear_num_qk_heads=2, linear_num_value_heads=4,
+        linear_qk_head_dim=16, linear_value_head_dim=16,
+        moe_hidden_dim=96, shared_expert_hidden_dim=96, num_experts=4, top_k=2,
+        vocab_size=256, context_length=64, dtype=jnp.float32, p_dropout=0.0,
+        gradient_checkpointing=False,
+    )
+    ids = jnp.asarray(np.random.default_rng(0).integers(0, 256, (2, 33)), jnp.int32)
+    batch = {"input_ids": ids[:, :-1], "targets": ids[:, 1:]}
+    rng = jax.random.PRNGKey(1)
+
+    losses = {}
+    for name, cf in (("exact", None), ("cap", 4.0)):
+        cfg = dict(base)
+        if cf is not None:
+            cfg["moe_capacity_factor"] = cf
+        params = qwen3_next.init(jax.random.PRNGKey(0), cfg)
+        optimizer = make_optimizer(1e-3)
+        step = make_train_step(qwen3_next, cfg, optimizer, fused_head_ce=True)
+        _, _, loss = step(params, optimizer.init(params), batch, rng)
+        losses[name] = float(loss)
+    assert abs(losses["exact"] - losses["cap"]) < 1e-4, losses
